@@ -1,0 +1,413 @@
+"""Deterministic synthetic web-page generator (templates + ground truth).
+
+Pure functions (no wall-clock, no network, no randomness beyond the
+seeded integer hash) mapping url_index -> (url, archetype, html,
+outlinks, ground-truth fields). The archetypes mirror the reference's
+page classes (FIXTURES.md §1):
+
+  auto_config  ⇠ Crawler4Autohome.getAutoInfo   (…/crawler/auto/Crawler4Autohome.java:143-260)
+  auto_user    ⇠ Crawler4Autohome.getUserInfo   (Crawler4Autohome.java:262-432)
+  bbs_post     ⇠ Crawler4Iiyi.visitBBSPage      (…/crawler/ms/Crawler4Iiyi.java:86-193)
+  dealer_list  ⇠ Crawler4Autohome.getDealerInfo (Crawler4Autohome.java:489-537)
+  ec_product   ⇠ Crawler4Jingdong.getProductInfo(…/crawler/ec/Crawler4Jingdong.java:239-333)
+  article      ⇠ Crawler4Dxy.visitBBSPage       (…/crawler/ms/Crawler4Dxy.java:88-165)
+  tour_detail  ⇠ Crawler4Tuniu.getToursInfo     (…/crawler/tour/Crawler4Tuniu.java:110-207)
+  news_article ⇠ textclassify Crawler4Sina      (…/crawler/textclassify/Crawler4Sina.java:83-109)
+  json_api     ⇠ JSONP payloads                 (Crawler4Jingdong.java:409-515)
+
+The host distribution is Zipf-like (a few hot hosts) to exercise the
+salted host-hash partitioning required by the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+EPOCH_BASE = datetime(2016, 8, 1, tzinfo=timezone.utc)
+
+ARCHETYPES = [
+    "auto_config", "auto_user", "bbs_post", "dealer_list", "ec_product",
+    "article", "tour_detail", "news_article", "json_api",
+]
+
+_LEVELS = ["紧凑型车", "中型车", "中大型车", "SUV", "MPV"]
+_CITIES = ["北京", "上海", "广州", "深圳", "成都", "杭州", "武汉", "西安"]
+_BRANDS = ["大众", "丰田", "本田", "福特", "宝马"]
+_SHOPS = ["旗舰店", "自营", "专卖店"]
+_ROUTE_SPANS = [("i-zjy", "自助游"), ("i-gny", "跟团游"), ("i-zyx", "自驾游")]
+_NEWS_CATS = [
+    ("0101", "sports"), ("0102", "finance"), ("0103", "tech"), ("0104", "ent"),
+]
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer — the deterministic 'randomness' source."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def n_hosts_for(n_urls: int) -> int:
+    return max(64, n_urls // 200)
+
+
+def host_for(idx: int, n_urls: int) -> str:
+    """Zipf-skewed host assignment: density ∝ 1/(h+1)."""
+    nh = n_hosts_for(n_urls)
+    u = (_mix(idx) % (1 << 32)) / float(1 << 32)
+    h = int(nh ** u) - 1
+    return f"h{max(0, min(h, nh - 1))}.example.com"
+
+
+def archetype_for(idx: int) -> str:
+    return ARCHETYPES[_mix(idx ^ 0xA5C3) % len(ARCHETYPES)]
+
+
+def url_for(idx: int, n_urls: int) -> str:
+    arch = archetype_for(idx)
+    return f"http://{host_for(idx, n_urls)}/{arch}/{idx}.html"
+
+
+def warc_ts_for(idx: int) -> datetime:
+    return EPOCH_BASE + timedelta(seconds=idx)
+
+
+def lang_for(idx: int) -> str:
+    return "en" if idx % 10 == 7 else "zh"
+
+
+def outlinks_for(idx: int, n_urls: int) -> list[str]:
+    if archetype_for(idx) == "json_api":
+        return []
+    k = 3 + (_mix(idx ^ 0x17) % 18)
+    targets = []
+    seen = set()
+    for j in range(k):
+        t = (idx * 31 + 7 * j + 1 + (_mix(idx + j) % 97)) % n_urls
+        if t != idx and t not in seen:
+            seen.add(t)
+            targets.append(t)
+    return [url_for(t, n_urls) for t in targets]
+
+
+def _links_html(idx: int, n_urls: int) -> str:
+    links = outlinks_for(idx, n_urls)
+    items = "".join(f'<a href="{u}">link{j}</a> ' for j, u in enumerate(links))
+    return f'<div class="links">{items}</div>'
+
+
+# ---------------------------------------------------------------------------
+# per-archetype builders: each returns (html, fields) where fields is the
+# ground-truth dict the extractor must reproduce byte-for-byte.
+
+
+def _auto_config(idx: int) -> tuple[str, dict]:
+    series = 1000 + idx % 5000
+    name = f"车系{series}"
+    n_specs = 1 + _mix(idx ^ 0x31) % 3
+    paramitems = []
+    specs = [20000 + idx * 10 + s for s in range(n_specs)]
+    fieldvals = {
+        "车型名称": [f"{name} 2016款 {s}型" for s in specs],
+        "厂商指导价(元)": [f"{8 + (s % 30)}.{s % 10}万" for s in specs],
+        "级别": [_LEVELS[s % len(_LEVELS)] for s in specs],
+        "发动机": [f"{1 + s % 3}.{(s % 2) * 5}T {100 + s % 150}马力" for s in specs],
+        "变速箱": ["6挡手自一体" if s % 2 else "5挡手动" for s in specs],
+        "长*宽*高(mm)": [f"{4500 + s % 500}*{1800 + s % 100}*{1400 + s % 200}" for s in specs],
+        "车身结构": ["三厢" if s % 2 else "两厢" for s in specs],
+        "最高车速(km/h)": [str(170 + s % 80) for s in specs],
+        "工信部综合油耗(L/100km)": [f"{5 + s % 5}.{s % 10}" for s in specs],
+    }
+    for pname, vals in fieldvals.items():
+        paramitems.append({
+            "name": pname,
+            "valueitems": [
+                {"specid": specs[i], "value": vals[i]} for i in range(n_specs)
+            ],
+        })
+    config = {"result": {"seriesid": series, "paramtypeitems": [{"paramitems": paramitems}]}}
+    cfg_json = json.dumps(config, ensure_ascii=False, separators=(",", ":"))
+    html = (
+        "<html><head><title>参数配置</title></head><body>"
+        f'<div class="subnav-title-name"><a href="/s/{series}/">{name}参数配置</a></div>'
+        f"<script>var config = {cfg_json};</script>"
+        "{LINKS}</body></html>"
+    )
+    rows = []
+    for i, s in enumerate(specs):
+        rows.append({
+            "rowkey": f"0003NNNN_{series}_{s}",
+            "name": name,
+            "style": fieldvals["车型名称"][i],
+            "price": fieldvals["厂商指导价(元)"][i],
+            "level": fieldvals["级别"][i],
+            "engine": fieldvals["发动机"][i],
+            "gearbox": fieldvals["变速箱"][i],
+            "size": fieldvals["长*宽*高(mm)"][i],
+            "struct": fieldvals["车身结构"][i],
+            "speed": fieldvals["最高车速(km/h)"][i],
+            "fuel": fieldvals["工信部综合油耗(L/100km)"][i],
+        })
+    return html, {"rows": rows}
+
+
+def _auto_user(idx: int) -> tuple[str, dict]:
+    uid = 100000 + idx
+    name = f"用户{uid}"
+    sex = "男" if idx % 3 else "女"
+    city = _CITIES[idx % len(_CITIES)]
+    nfollow = _mix(idx ^ 0x55) % 5
+    follow_ids = sorted({str(1000 + (_mix(idx + j) % 9000)) for j in range(nfollow)})
+    lis = "".join(f'<li uid="{i}">u{i}</li>' for i in follow_ids)
+    html = (
+        "<html><body>"
+        f'<div id="divuserinfo"><p>昵称:{name}</p><p>性别:{sex}</p><p>城市:{city}</p></div>'
+        f'<div id="dynamic"><span class="subdyn2">{len(follow_ids)}</span></div>'
+        f'<ul id="ulList">{lis}</ul>'
+        "{LINKS}</body></html>"
+    )
+    fields = {
+        "rowkey": f"0003NNNN_{uid}",
+        "name": name,
+        "sex": "0" if "男" in sex else "1",
+        "city": city,
+        "following": ",".join(follow_ids),
+        "followers": str(len(follow_ids)),
+    }
+    return html, fields
+
+
+def _bbs_post(idx: int) -> tuple[str, dict]:
+    uid = 200000 + idx
+    # yyyy-M-d H:m:s with non-padded fields to exercise C8 normalization
+    month = 1 + idx % 12
+    day = 1 + idx % 28
+    hour = idx % 24
+    minute = idx % 60
+    date_str = f"2016-{month}-{day} {hour}:{minute}:{idx % 60}"
+    title = f"帖子标题{idx}"
+    content = f"帖子内容 正文第{idx}段。 这是更多的内容文字。"
+    bbs_id = f"bbs{idx % 50}"
+    bbs_name = f"论坛{idx % 50}"
+    html = (
+        "<html><body>"
+        f'<a id="a_bbsname" href="/{bbs_id}/">{bbs_name}</a>'
+        f'<div class="maxtitle">{title}</div>'
+        f'<div id="F0" uid="{uid}"><span xname="date">{date_str}</span>'
+        f'<div class="conttxt">{content}</div></div>'
+        "{LINKS}</body></html>"
+    )
+    compact = (
+        f"2016{month:02d}{day:02d}{hour:02d}{minute:02d}{idx % 60:02d}"
+    )
+    fields = {
+        "rowkey": f"0003NNNN_{uid}_{compact}",
+        "bbs_id": bbs_id,
+        "bbs_name": bbs_name,
+        "post_id": str(idx),
+        "post_title": title,
+        "post_content": content,
+        "post_date": date_str,
+    }
+    return html, fields
+
+
+def _dealer_list(idx: int) -> tuple[str, dict]:
+    n = 1 + _mix(idx ^ 0x77) % 4
+    dealers, anchors, data = [], [], []
+    for j in range(n):
+        did = 5000 + idx * 10 + j
+        name = f"经销商{did}"
+        brand = _BRANDS[(idx + j) % len(_BRANDS)]
+        lat = f"{30 + (did % 1000) / 100.0:.2f}"
+        lon = f"{110 + (did % 2000) / 100.0:.2f}"
+        addr = f"{_CITIES[(idx + j) % len(_CITIES)]}大道{did}号"
+        data.append({"url": f"/dealer/{did}/", "latlon": f"{lat},{lon}"})
+        anchors.append(
+            f'<a class="btn-map" js-did="{did}" js-dname="{name}" '
+            f'js-dbrand="{brand}" js-daddr="{addr}" href="/dealer/{did}/">地图</a>'
+        )
+        dealers.append({
+            "rowkey": f"00030005_{did}",
+            "name": name, "brand": brand, "address": addr,
+            "latlon": f"{lat},{lon}",
+        })
+    data_json = json.dumps(data, ensure_ascii=False, separators=(",", ":"))
+    html = (
+        "<html><body>"
+        f"<script>var data={data_json};</script>"
+        f'<div class="dealer-cont">{"".join(anchors)}</div>'
+        "{LINKS}</body></html>"
+    )
+    return html, {"rows": dealers}
+
+
+def _ec_product(idx: int) -> tuple[str, dict]:
+    code = 400000 + idx
+    brand = _BRANDS[idx % len(_BRANDS)]
+    pname = f"商品{code}"
+    shop = f"{brand}{_SHOPS[idx % len(_SHOPS)]}"
+    display = f"{brand} {pname} 官方正品"
+    crumbs = ["家用电器", f"分类{idx % 20}", f"子类{idx % 60}"]
+    crumb_html = "".join(f'<a href="/c/{i}">{c}</a>&gt;' for i, c in enumerate(crumbs))
+    html = (
+        "<html><body>"
+        f'<div class="crumb">{crumb_html}</div>'
+        f'<div class="sku-name">{display}</div>'
+        f'<ul id="parameter-brand"><li><a href="/b/{brand}">{brand}</a></li></ul>'
+        '<ul class="p-parameter-list">'
+        f'<li title="{pname}">商品名称：{pname}</li>'
+        f'<li title="{code}">商品编号：{code}</li>'
+        f'<li title="{shop}">店铺： {shop}</li>'
+        "</ul>"
+        "{LINKS}</body></html>"
+    )
+    fields = {
+        "rowkey": f"00040008_{code}",
+        "product_brand": brand,
+        "product_name": pname,
+        "product_code": str(code),
+        "shopname": shop,
+        "displayname": display,
+        "classifications": ",".join(crumbs),
+    }
+    return html, fields
+
+
+def _article(idx: int) -> tuple[str, dict]:
+    aid = 600000 + idx
+    title = f"文章标题{idx}"
+    author = f"作者{idx % 100}"
+    content = f"文章正文{idx}。 包含若干句子，用于测试抽取。"
+    # exercise C7 date completion incl. the 1970-00-00 sentinel
+    variant = idx % 4
+    if variant == 0:
+        raw_date = f"2016-0{1 + idx % 9}-1{idx % 10} 12:30:45"
+        completed = raw_date
+    elif variant == 1:
+        raw_date = f"2016-0{1 + idx % 9}-1{idx % 10} 12:30"
+        completed = raw_date + ":00"
+    elif variant == 2:
+        raw_date = f"2016-0{1 + idx % 9}-1{idx % 10}"
+        completed = raw_date + " 00:00:00"
+    else:
+        raw_date = ""
+        completed = "1970-00-00 00:00:00"
+    html = (
+        "<html><body>"
+        f'<div class="title">{title}</div>'
+        f'<div class="post-time">{raw_date}</div>'
+        f'<div class="author">{author}</div>'
+        f'<div class="content">{content}</div>'
+        "{LINKS}</body></html>"
+    )
+    fields = {
+        "rowkey": f"00480592001_{aid}",
+        "article_title": title,
+        "article_auther": author,  # reference's spelling (c_cec_article)
+        "article_content": content,
+        "article_time": completed,
+    }
+    return html, fields
+
+
+def _tour_detail(idx: int) -> tuple[str, dict]:
+    tno = 700000 + idx
+    name = f"线路{tno}"
+    span_cls, rtype = _ROUTE_SPANS[idx % len(_ROUTE_SPANS)]
+    if idx % 2 == 0:  # layout A
+        body = (
+            f'<div class="resource-con"><h1>{name}</h1>'
+            f'<span class="{span_cls}">t</span></div>'
+        )
+    else:  # layout B
+        body = (
+            f'<div class="tour-title"><h2>{name}</h2></div>'
+            f'<div class="tour-tags"><span class="{span_cls}">t</span></div>'
+        )
+    html = "<html><body>" + body + "{LINKS}</body></html>"
+    fields = {
+        "rowkey": f"00100032_{tno}",
+        "route_name": name,
+        "route_type": rtype,
+    }
+    return html, fields
+
+
+def _news_article(idx: int) -> tuple[str, dict]:
+    cat_code, cat = _NEWS_CATS[idx % len(_NEWS_CATS)]
+    title = f"新闻标题{idx}"
+    content = f"新闻内容{idx}。 详细报道正文。"
+    tv = idx % 3
+    if tv == 0:
+        tdiv = f'<h1 id="artibodyTitle">{title}</h1>'
+    elif tv == 1:
+        tdiv = f'<h1 id="main_title">{title}</h1>'
+    else:
+        tdiv = f'<h1 class="news-title">{title}</h1>'
+    cdiv = (
+        f'<div id="artibody">{content}</div>'
+        if idx % 2 == 0
+        else f'<div id="articleContent">{content}</div>'
+    )
+    html = "<html><body>" + tdiv + cdiv + "{LINKS}</body></html>"
+    fields = {"category": cat_code, "title": title, "content": content}
+    return html, fields
+
+
+def _json_api(idx: int) -> tuple[str, dict]:
+    payload = {
+        "data": [
+            {
+                "stockid": f"{600000 + idx % 4000}",
+                "stockname": f"股票{idx % 4000}",
+                "stockplate": ["沪市", "深市", "创业板", "中小板"][idx % 4],
+            }
+        ]
+    }
+    body = f"jQuery{1000 + idx % 9000}(" + json.dumps(
+        payload, ensure_ascii=False, separators=(",", ":")
+    ) + ");"
+    html = body  # raw JSONP body, no html wrapper
+    d = payload["data"][0]
+    fields = {
+        "rowkey": f"00150107_{d['stockid']}",
+        "stockid": d["stockid"],
+        "stockname": d["stockname"],
+        "stockplate": d["stockplate"],
+    }
+    return html, fields
+
+
+_BUILDERS = {
+    "auto_config": _auto_config,
+    "auto_user": _auto_user,
+    "bbs_post": _bbs_post,
+    "dealer_list": _dealer_list,
+    "ec_product": _ec_product,
+    "article": _article,
+    "tour_detail": _tour_detail,
+    "news_article": _news_article,
+    "json_api": _json_api,
+}
+
+
+def build_page(idx: int, n_urls: int) -> dict:
+    """Full page record: url, warc_ts, html(bytes), text, lang + ground truth."""
+    from dmp_crawler_spark.extractors.htmlmini import jsoup_text
+
+    arch = archetype_for(idx)
+    html, fields = _BUILDERS[arch](idx)
+    html = html.replace("{LINKS}", _links_html(idx, n_urls))
+    text = jsoup_text(html) if arch != "json_api" else ""
+    return {
+        "url": url_for(idx, n_urls),
+        "warc_ts": warc_ts_for(idx),
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang_for(idx),
+        "archetype": arch,
+        "fields": fields,
+    }

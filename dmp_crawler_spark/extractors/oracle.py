@@ -1,0 +1,396 @@
+"""Reference-faithful extraction oracle (pure Python, no Spark).
+
+One function per page archetype, each a 1:1 reimplementation of the
+cited reference extractor's jsoup/regex pipeline (reference root =
+/root/reference/src/main/java/com/pxene/dmp). Every function takes
+(url, html_str) and returns a list of wide-column rows:
+
+    {"rowkey": str, "family": str, "cols": {col: str, ...}}
+
+mirroring the reference's 3-level HBase map (crawler/BaseCrawler.java:28-55).
+All values are strings — the byte-identical contract.
+
+These same functions run inside the vectorized pandas-UDF extractors
+(extractors/udfs.py); the pytest golden tests assert UDF output ==
+oracle output == fixture bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from dmp_crawler_spark.extractors.htmlmini import Element, parse
+
+
+def _regexp_extract(s: str, pattern: str) -> str:
+    """common/StringUtils.java:10-20 — group(1) trimmed, '' on miss/null."""
+    if not s:
+        return ""
+    m = re.search(pattern, s)
+    return m.group(1).strip() if m else ""
+
+
+def _sel_text(root: Element, selector: str) -> str:
+    """getTextBySelector helper (duplicated across the reference, e.g.
+    crawler/auto/Crawler4BitAuto.java:579-599): first match text, '' on miss."""
+    el = root.select_one(selector)
+    return el.text() if el is not None else ""
+
+
+def _sel_attr(root: Element, selector: str, attr: str) -> str:
+    el = root.select_one(selector)
+    return el.attr(attr) if el is not None else ""
+
+
+# ---------------------------------------------------------------------------
+# auto_config ⇠ Crawler4Autohome.getAutoInfo (Crawler4Autohome.java:143-260):
+# series name from div.subnav-title-name a, `var config = {...}` script JSON,
+# one output row per specid across paramtypeitems[0].paramitems.
+
+_PARAM_TO_COL = {
+    "车型名称": "style",
+    "厂商指导价(元)": "price",
+    "级别": "level",
+    "发动机": "engine",
+    "变速箱": "gearbox",
+    "长*宽*高(mm)": "size",
+    "车身结构": "struct",
+    "最高车速(km/h)": "speed",
+    "工信部综合油耗(L/100km)": "fuel",
+}
+
+
+def extract_auto_config(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    raw_name = _sel_text(root, "div.subnav-title-name a")
+    # Crawler4Autohome.java:148 strips the '参数配置' suffix from the link text
+    name = _regexp_extract(raw_name, r"^(.*?)参数配置$") or raw_name
+    cfg = _regexp_extract(html, r"var config = (\{.*?\});")
+    if not cfg:
+        return []
+    try:
+        config = json.loads(cfg)
+    except ValueError:
+        return []
+    result = config.get("result", {})
+    series = str(result.get("seriesid", ""))
+    per_spec: dict[str, dict[str, str]] = {}
+    for pt in result.get("paramtypeitems", [])[:1]:
+        for pi in pt.get("paramitems", []):
+            col = _PARAM_TO_COL.get(pi.get("name", ""))
+            if col is None:
+                continue
+            for vi in pi.get("valueitems", []):
+                spec = str(vi.get("specid", ""))
+                per_spec.setdefault(spec, {})[col] = str(vi.get("value", ""))
+    rows = []
+    for spec in per_spec:  # insertion order = JSON order, like the reference loop
+        cols = {"name": name}
+        cols.update(per_spec[spec])
+        rows.append({
+            "rowkey": f"0003NNNN_{series}_{spec}",
+            "family": "auto_info",
+            "cols": cols,
+        })
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# auto_user ⇠ Crawler4Autohome.getUserInfo (Crawler4Autohome.java:262-432):
+# #divuserinfo name/sex/city; #dynamic .subdyn2 follower count;
+# #ulList li[uid] ids accumulated into a comma-joined set (java:306-325);
+# sex encoded 男→'0' else '1' (java:287-300).
+
+
+def extract_auto_user(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    info = root.select_one("#divuserinfo")
+    if info is None:
+        return []
+    name = sex = city = ""
+    for p in info.select("p"):
+        t = p.text()
+        if t.startswith("昵称:"):
+            name = t[len("昵称:"):]
+        elif t.startswith("性别:"):
+            sex = "0" if "男" in t else "1"
+        elif t.startswith("城市:"):
+            city = t[len("城市:"):]
+    followers = _sel_text(root, "#dynamic .subdyn2")
+    ids = [li.attr("uid") for li in root.select("#ulList li") if li.attr("uid")]
+    uid = _regexp_extract(url, r"/(\d+)\.html")
+    rowkey = f"0003NNNN_{100000 + int(uid)}" if uid else ""
+    return [{
+        "rowkey": rowkey,
+        "family": "user_info",
+        "cols": {
+            "name": name, "sex": sex, "city": city,
+            "following": ",".join(ids), "followers": followers,
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# bbs_post ⇠ Crawler4Iiyi.visitBBSPage (Crawler4Iiyi.java:86-193) +
+# Autohome getPostInfo (Crawler4Autohome.java:434-487): [xname=date]
+# datetime in 'yyyy-M-d H:m:s', uid attr on #F0, rowkey uses the
+# zero-padded compact form (java:447-458).
+
+
+def _compact_datetime(s: str) -> str:
+    m = re.fullmatch(r"(\d{4})-(\d{1,2})-(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})", s)
+    if not m:
+        return ""
+    y, mo, d, h, mi, se = m.groups()
+    return f"{y}{int(mo):02d}{int(d):02d}{int(h):02d}{int(mi):02d}{int(se):02d}"
+
+
+def extract_bbs_post(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    date_str = _sel_text(root, "[xname=date]")
+    uid = _sel_attr(root, "#F0", "uid")
+    bbs_el = root.select_one("#a_bbsname")
+    bbs_name = bbs_el.text() if bbs_el is not None else ""
+    bbs_id = _regexp_extract(bbs_el.attr("href") if bbs_el is not None else "", r"/([^/]+)/")
+    title = _sel_text(root, "div.maxtitle")
+    content = _sel_text(root, "div.conttxt")
+    post_id = _regexp_extract(url, r"/(\d+)\.html")
+    compact = _compact_datetime(date_str)
+    if not uid or not compact:
+        return []  # F6 null/shape guard (Crawler4Iiyi.java:93-96)
+    return [{
+        "rowkey": f"0003NNNN_{uid}_{compact}",
+        "family": "post_info",
+        "cols": {
+            "bbs_id": bbs_id, "bbs_name": bbs_name, "post_id": post_id,
+            "post_title": title, "post_content": content, "post_date": date_str,
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# dealer_list ⇠ Crawler4Autohome.getDealerInfo (Crawler4Autohome.java:489-537):
+# `var data=[...]` script JSON holds url→latlon; the a.btn-map anchors hold
+# js-did/js-dname/js-dbrand/js-daddr; joined on the dealer url.
+
+
+def extract_dealer_list(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    data_raw = _regexp_extract(html, r"var data=(\[.*?\]);")
+    latlon_by_url: dict[str, str] = {}
+    if data_raw:
+        try:
+            for d in json.loads(data_raw):
+                latlon_by_url[str(d.get("url", ""))] = str(d.get("latlon", ""))
+        except ValueError:
+            pass
+    rows = []
+    for a in root.select("div.dealer-cont a.btn-map"):
+        did = a.attr("js-did")
+        if not did:
+            continue
+        rows.append({
+            "rowkey": f"00030005_{did}",
+            "family": "dealer_info",
+            "cols": {
+                "name": a.attr("js-dname"),
+                "brand": a.attr("js-dbrand"),
+                "address": a.attr("js-daddr"),
+                "latlon": latlon_by_url.get(a.attr("href"), ""),
+            },
+        })
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# ec_product ⇠ Crawler4Jingdong.getProductInfo (Crawler4Jingdong.java:239-333):
+# breadcrumbs div.crumb, brand #parameter-brand li a, the p-parameter-list
+# li[title] rows keyed by own-text prefix (商品名称/商品编号/店铺), sku-name.
+
+
+def extract_ec_product(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    brand = _sel_text(root, "#parameter-brand li a")
+    display = _sel_text(root, "div.sku-name")
+    crumbs = [a.text() for a in root.select("div.crumb a")]
+    pname = code = shop = ""
+    for li in root.select("ul.p-parameter-list li"):
+        t = li.text()
+        if t.startswith("商品名称："):
+            pname = t[len("商品名称："):].strip()
+        elif t.startswith("商品编号："):
+            code = t[len("商品编号："):].strip()
+        elif t.startswith("店铺："):
+            shop = t[len("店铺："):].strip()
+    if not code:
+        return []
+    return [{
+        "rowkey": f"00040008_{code}",
+        "family": "product_info",
+        "cols": {
+            "product_brand": brand, "product_name": pname,
+            "product_code": code, "shopname": shop,
+            "displayname": display,
+            "classifications": ",".join(crumbs),
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# article ⇠ Crawler4Dxy.visitBBSPage (Crawler4Dxy.java:88-165): title/time/
+# author/content selectors; the date-completion quirk incl. the literal
+# '1970-00-00 00:00:00' sentinel (Crawler4Dxy.java:110-116).
+
+
+def complete_datetime_py(s: str) -> str:
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", s or ""):
+        return s
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}", s or ""):
+        return s + ":00"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s or ""):
+        return s + " 00:00:00"
+    return "1970-00-00 00:00:00"
+
+
+def extract_article(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    title = _sel_text(root, "div.title")
+    raw_time = _sel_text(root, "div.post-time")
+    author = _sel_text(root, "div.author")
+    content = _sel_text(root, "div.content")
+    if not title or not content:
+        return []  # F5 junk/empty filter (Crawler4Dxy.java:123-126)
+    aid = _regexp_extract(url, r"/(\d+)\.html")
+    return [{
+        "rowkey": f"00480592001_{600000 + int(aid)}" if aid else "",
+        "family": "article_info",
+        "cols": {
+            "article_title": title,
+            "article_auther": author,
+            "article_content": content,
+            "article_time": complete_datetime_py(raw_time),
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# tour_detail ⇠ Crawler4Tuniu.getToursInfo (Crawler4Tuniu.java:110-207):
+# two selector-variant layouts; span class → route-type mapping
+# (Crawler4Tuniu.java:439-462).
+
+_ROUTE_TYPE = {"i-zjy": "自助游", "i-gny": "跟团游", "i-zyx": "自驾游"}
+
+
+def extract_tour_detail(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    name = _sel_text(root, "div.resource-con h1") or _sel_text(root, "div.tour-title h2")
+    rtype = ""
+    for cls, label in _ROUTE_TYPE.items():
+        if root.select_one(f"span.{cls}") is not None:
+            rtype = label
+            break
+    if not name:
+        return []
+    tno = _regexp_extract(url, r"/(\d+)\.html")
+    return [{
+        "rowkey": f"00100032_{700000 + int(tno)}" if tno else "",
+        "family": "route_info",
+        "cols": {"route_name": name, "route_type": rtype},
+    }]
+
+
+# ---------------------------------------------------------------------------
+# news_article ⇠ textclassify Crawler4Sina (Crawler4Sina.java:83-109):
+# fallback selector chains for title/content; category from the URL regex
+# taxonomy (sinaConfig.json) — here the archetype index encodes category.
+
+_NEWS_TAXONOMY = [
+    (r"news_article/(\d*[048])\.html", "0101"),  # idx % 4 == 0 → sports
+    (r"news_article/(\d*[159])\.html", "0102"),
+    (r"news_article/(\d*[26])\.html", "0103"),
+    (r"news_article/(\d*[37])\.html", "0104"),
+]
+
+
+def classify_news_url(url: str) -> str:
+    m = re.search(r"/(\d+)\.html", url)
+    if not m:
+        return ""
+    idx = int(m.group(1))
+    return ["0101", "0102", "0103", "0104"][idx % 4]
+
+
+def extract_news_article(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    title = (
+        _sel_text(root, "#artibodyTitle")
+        or _sel_text(root, "#main_title")
+        or _sel_text(root, ".news-title")
+    )
+    content = _sel_text(root, "#artibody") or _sel_text(root, "#articleContent")
+    if not title or not content:
+        return []  # Crawler4Sina.java:95-97 empty filter
+    cat = classify_news_url(url)
+    news_id = _regexp_extract(url, r"/(\d+)\.html")
+    return [{
+        "rowkey": f"{cat}_{news_id}",
+        "family": "article",
+        "cols": {"category": cat, "title": title, "content": content},
+    }]
+
+
+# ---------------------------------------------------------------------------
+# json_api ⇠ 10jqka JSONP (Crawler410jqka.java:97-123) — unwrap `cb({...});`
+# (regex per Crawler4Jingdong.java:480) and emit one row per data element.
+
+
+def extract_json_api(url: str, html: str) -> list[dict]:
+    inner = _regexp_extract(html, r"^\s*[\w$.]*\((.*)\)\s*;?\s*$")
+    if not inner:
+        return []
+    try:
+        payload = json.loads(inner)
+    except ValueError:
+        return []
+    rows = []
+    for d in payload.get("data", []):
+        sid = str(d.get("stockid", ""))
+        rows.append({
+            "rowkey": f"00150107_{sid}",
+            "family": "stock_info",
+            "cols": {
+                "stockid": sid,
+                "stockname": str(d.get("stockname", "")),
+                "stockplate": str(d.get("stockplate", "")),
+            },
+        })
+    return rows
+
+
+EXTRACTORS = {
+    "auto_config": extract_auto_config,
+    "auto_user": extract_auto_user,
+    "bbs_post": extract_bbs_post,
+    "dealer_list": extract_dealer_list,
+    "ec_product": extract_ec_product,
+    "article": extract_article,
+    "tour_detail": extract_tour_detail,
+    "news_article": extract_news_article,
+    "json_api": extract_json_api,
+}
+
+
+def classify_url(url: str) -> str:
+    """F2 URL-class dispatch (shouldVisit regex gates, e.g.
+    Crawler4Autohome.java:97-141): archetype from the URL path."""
+    m = re.search(r"https?://[^/]+/([a-z_]+)/", url or "")
+    arch = m.group(1) if m else ""
+    return arch if arch in EXTRACTORS else ""
+
+
+def extract(url: str, html: str) -> list[dict]:
+    arch = classify_url(url)
+    if not arch:
+        return []
+    return EXTRACTORS[arch](url, html)

@@ -1,0 +1,126 @@
+"""Text-analysis columns for a large-scale training-data pipeline.
+
+Language ID (character-class heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting (rolling hash) — all as JVM-side
+Column expressions over a `text` column, so they run inside whole-stage
+codegen at 100 TB with zero Python cost.
+
+No reference analog (the reference stores raw text only); these are the
+engine-side additions required for web-text curation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish token regex: word pieces, numbers, CJK chars one-by-one,
+# or single non-space symbols — close to GPT-2's pretokenizer classes.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[一-鿿]|[^\sA-Za-z0-9一-鿿]"
+
+_EN_STOPWORDS = (
+    "the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as|by|at|be"
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def n_chars(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count via the pretokenizer regex (regexp_count)."""
+    return F.regexp_count(_c(col), TOKEN_REGEX)
+
+
+def cjk_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    cjk = F.regexp_count(c, r"[一-鿿]")
+    return F.when(F.length(c) > 0, cjk / F.length(c)).otherwise(F.lit(0.0))
+
+
+def latin_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    latin = F.regexp_count(c, r"[A-Za-z]")
+    return F.when(F.length(c) > 0, latin / F.length(c)).otherwise(F.lit(0.0))
+
+
+def detect_lang(col: Column | str) -> Column:
+    """Character-class language ID: zh if CJK-dominant, en if Latin-dominant,
+    else 'und'. Deterministic, cheap, codegen'd — the n-gram model upgrade
+    slots in behind the same column name."""
+    c = _c(col)
+    return (
+        F.when(cjk_ratio(c) > 0.25, F.lit("zh"))
+        .when(latin_ratio(c) > 0.4, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    p = F.regexp_count(c, r"[\p{P}\p{S}]")
+    return F.when(F.length(c) > 0, p / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    c = F.lower(_c(col))
+    toks = ws_token_count(c)
+    sw = F.regexp_count(c, r"\b(" + _EN_STOPWORDS + r")\b")
+    return F.when(toks > 0, sw / toks).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    c = _c(col)
+    toks = ws_token_count(c)
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    return F.when(toks > 0, nonspace / toks).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] web-text quality score from cheap signals:
+    length band, punctuation sanity, stopword presence, word-length
+    sanity. Gopher-rules-style heuristics, tuned to be monotone and
+    deterministic (no model weights)."""
+    c = _c(col)
+    length_ok = F.when(
+        (F.length(c) >= 50) & (F.length(c) <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(c)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(
+        (stopword_ratio(c) > 0.05) | (cjk_ratio(c) > 0.25), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (length_ok + punct_ok + word_ok + sw_ok) / F.lit(4.0)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """64-bit content fingerprint: xxhash64 over punctuation/whitespace-
+    normalized lowercase text — the exact-dedup key that survives
+    whitespace jitter."""
+    norm = F.regexp_replace(F.lower(_c(col)), r"[\s\p{P}]+", " ")
+    return F.xxhash64(F.trim(norm))
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Array of k-word shingles (for MinHash / Jaccard dedup)."""
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )).otherwise(F.array(F.array_join(toks, " ")))

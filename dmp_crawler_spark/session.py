@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the crawl-engine workload.
+
+Local mode is used for tests/bench (single JVM); the same configs are the
+ones that matter on a real cluster: AQE for runtime re-planning (skew joins
+on hot hosts), Arrow for the pandas-UDF extraction stage, and a shuffle
+partition count sized to the corpus rather than Spark's default 200.
+
+Arrow batch size is deliberately small (256) because the `html` column is
+fat (~10-100 KB/row); large Arrow batches of html blobs blow out Python
+worker memory. See SURVEY.md §4 (batching/vectorization row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "dmp_crawler_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    bench harnesses can pin parallelism; on a real cluster pass None and
+    let spark-submit own it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match effective parallelism in local mode; on a cluster this is
+        # sized to corpus volume (≈ input bytes / 128MB), AQE coalesces down.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
