@@ -1,0 +1,193 @@
+"""Partitioned bloom-filter URL-seen shards (the north-rule fast path).
+
+The reference relies on crawler4j's BerkeleyDB DocID server for URL-seen
+dedup (implied by setResumableCrawling, …/main/CrawlerManager.java:83-84).
+At 10^10 URLs an exact set is ~terabytes; the engine therefore keeps
+
+  - an exact, append-only `seen` table (ground truth, used by an anti-join), and
+  - per-shard bloom filters keyed by pmod(xxhash64(host), n_shards), so a
+    shard holds whole hosts (locality: one host's candidate links hit one
+    shard) and hot-host skew spreads over many shards.
+
+Candidate dedup = bloom prefilter (map-side, no shuffle) that splits
+candidates into definitely-new (bloom negative — skips the join entirely)
+and maybe-seen (bloom positive — goes through the exact left_anti join).
+False positives only cost an extra join row, never correctness.
+
+Shards are numpy bit arrays built with applyInPandas (one group = one
+shard) and persisted as .npy files + a JSON manifest; executors mmap-load
+and cache shards per process. Double hashing (Kirsch–Mitzenmacher) gives
+k index functions from one xxhash64 value computed JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# per-executor-process shard cache {path: (bits, m, k)}
+_SHARD_CACHE: dict[str, tuple[np.ndarray, int, int]] = {}
+
+
+def _params(n_items: int, fpp: float) -> tuple[int, int]:
+    n = max(n_items, 16)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max(128, (m + 63) // 64 * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(h), k) bit positions via double hashing on the 64-bit hash."""
+    h = h.astype(np.uint64)
+    h1 = h
+    h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD) & _MASK
+    h2 = h2 | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) & _MASK) % np.uint64(m)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.ravel()
+    np.bitwise_or.at(bits, flat >> np.uint64(6),
+                     np.uint64(1) << (flat & np.uint64(63)))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    words = bits[(pos >> np.uint64(6)).ravel()].reshape(pos.shape)
+    hit = (words >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("n_items", T.LongType(), False),
+    T.StructField("m_bits", T.LongType(), False),
+    T.StructField("k_hashes", T.IntegerType(), False),
+])
+
+
+def build_shards(seen: DataFrame, out_dir: str, n_shards: int,
+                 fpp: float = 1e-4, expected_per_shard: int | None = None) -> str:
+    """Build bloom shards from the exact seen table; returns manifest path.
+
+    seen must carry (url_hash long, host_hash long). One applyInPandas
+    group per shard → one .npy file; the manifest (written by the driver
+    from the returned rows) is the atomic commit point.
+
+    n_shards must be a power of two so the JVM-side pmod(signed long) and
+    the numpy uint64-mod in prefilter() agree on shard ids.
+    """
+    if n_shards & (n_shards - 1):
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        hashes = pdf["url_hash"].values.astype(np.int64).view(np.uint64)
+        n = expected_per_shard or len(hashes)
+        m, k = _params(max(n, len(hashes)), fpp)
+        bits = np.zeros(m >> 6, dtype=np.uint64)
+        _set_bits(bits, _positions(hashes, m, k))
+        path = os.path.join(out_dir, f"shard_{shard:05d}.npy")
+        np.save(path, bits, allow_pickle=False)
+        return pd.DataFrame({
+            "shard": [shard], "path": [path], "n_items": [len(hashes)],
+            "m_bits": [m], "k_hashes": [k],
+        })
+
+    shards = (
+        seen.withColumn("shard", F.pmod("host_hash", F.lit(n_shards)).cast("int"))
+        .select("shard", "url_hash")
+        .groupBy("shard")
+        .applyInPandas(build, MANIFEST_SCHEMA)
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "fpp": fpp,
+        "shards": {str(r["shard"]): {
+            "path": r["path"], "n_items": r["n_items"],
+            "m_bits": r["m_bits"], "k_hashes": r["k_hashes"],
+        } for r in shards},
+    }
+    mpath = os.path.join(out_dir, "manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return mpath
+
+
+def _load_shard(path: str, m: int, k: int) -> tuple[np.ndarray, int, int]:
+    cached = _SHARD_CACHE.get(path)
+    if cached is None:
+        bits = np.load(path, allow_pickle=False, mmap_mode="r")
+        cached = (bits, m, k)
+        _SHARD_CACHE[path] = cached
+    return cached
+
+
+def prefilter(candidates: DataFrame, manifest_path: str | None) -> DataFrame:
+    """Tag candidates with maybe_seen: false ⇒ definitely new (bloom
+    negative), true ⇒ must go through the exact anti-join. Map-side only —
+    no shuffle. candidates must carry (url_hash, host_hash)."""
+    if manifest_path is None or not os.path.exists(manifest_path):
+        return candidates.withColumn("maybe_seen", F.lit(True))
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    n_shards = manifest["n_shards"]
+    shards_meta = manifest["shards"]
+
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                pdf["maybe_seen"] = pd.Series([], dtype=bool)
+                yield pdf
+                continue
+            hh = pdf["host_hash"].values.astype(np.int64).view(np.uint64)
+            shard_ids = (hh % np.uint64(n_shards)).astype(np.int64)
+            maybe = np.ones(len(pdf), dtype=bool)
+            uh = pdf["url_hash"].values.astype(np.int64).view(np.uint64)
+            for sid in np.unique(shard_ids):
+                meta = shards_meta.get(str(int(sid)))
+                mask = shard_ids == sid
+                if meta is None:
+                    maybe[mask] = False  # empty shard: nothing ever seen there
+                    continue
+                bits, m, k = _load_shard(meta["path"], meta["m_bits"], meta["k_hashes"])
+                maybe[mask] = _test_bits(np.asarray(bits), _positions(uh[mask], m, k))
+            out = pdf.copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    return candidates.mapInPandas(check, out_schema)
+
+
+def dedup_candidates(candidates: DataFrame, seen: DataFrame | None,
+                     manifest_path: str | None) -> DataFrame:
+    """Full J1 dedup (…/social/worker/WXEntityImporter.java:105-144 semantics,
+    engine-scale plan): bloom prefilter → exact left_anti on url for the
+    maybe-seen slice → union with the definitely-new slice."""
+    tagged = prefilter(candidates, manifest_path)
+    if seen is None:
+        return tagged.drop("maybe_seen")
+    definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(seen.select("url"), "url", "left_anti")
+    return definitely_new.unionByName(survived)

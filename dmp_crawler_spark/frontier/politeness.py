@@ -1,0 +1,69 @@
+"""Priority queue + per-host politeness budget as pure DataFrame ops.
+
+The reference throttles with Thread.sleep(2000-3000) between requests
+(…/crawler/ms/Crawler4Dxy_BBS.java:169-173) and bounds the crawl with a
+global page budget (…/main/CrawlerManager.java:79). Sleeping executors
+is the anti-pattern at scale; the engine instead does admission control:
+each iteration admits at most `budget(host)` URLs per host, ranked by the
+north-rule priority key (depth, discovery_ts, score, url).
+
+W1 in SURVEY.md §2.5: row_number over Window.partitionBy(host) — one
+shuffle on host, which is the same shuffle the fetch stage needs anyway
+(politeness locality), so AQE reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# the canonical, fully deterministic crawl-order key (north rule):
+# shallower first, earlier discovery first, higher site-rule score first,
+# url as the total-order tie-break.
+PRIORITY_COLS = ("depth", "discovery_iter", "score", "url")
+
+
+def priority_window():
+    return Window.partitionBy("host").orderBy(
+        F.col("depth").asc(),
+        F.col("discovery_iter").asc(),
+        F.col("score").desc(),
+        F.col("url").asc(),
+    )
+
+
+def admit(frontier: DataFrame, per_host_budget: int,
+          global_budget: int | None = None,
+          delay_window_ms: int | None = None) -> DataFrame:
+    """Rank pending frontier rows and admit ≤ budget per host (and
+    optionally ≤ global_budget overall, lowest-rank-first — the
+    setMaxPagesToFetch analog).
+
+    If the frontier carries a crawl_delay_ms column (robots-derived) and
+    delay_window_ms is given, the per-host budget shrinks to
+    floor(window/delay) for hosts with a delay — the declarative form of
+    the reference's per-host sleeps.
+    """
+    ranked = frontier.withColumn("rn", F.row_number().over(priority_window()))
+    if delay_window_ms is not None and "crawl_delay_ms" in frontier.columns:
+        budget = F.when(
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0,
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(delay_window_ms) / F.col("crawl_delay_ms")),
+            ),
+        ).otherwise(F.lit(per_host_budget))
+        budget = F.least(budget, F.lit(per_host_budget))
+    else:
+        budget = F.lit(per_host_budget)
+    admitted = ranked.filter(F.col("rn") <= budget)
+    if global_budget is not None:
+        # total order across hosts for the global cap: same key, then host
+        gw = Window.orderBy(
+            F.col("depth").asc(), F.col("discovery_iter").asc(),
+            F.col("score").desc(), F.col("url").asc(),
+        )
+        admitted = admitted.withColumn("grn", F.row_number().over(gw)).filter(
+            F.col("grn") <= global_budget
+        ).drop("grn")
+    return admitted.drop("rn")

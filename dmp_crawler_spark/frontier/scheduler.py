@@ -1,0 +1,326 @@
+"""The crawl loop: frontier → admit → fetch → extract → discover → dedup → frontier'.
+
+This is the Spark rewrite of crawler4j's controller loop
+(…/main/CrawlerManager.java:53-108 + the crawler4j library semantics the
+reference configures): BFS frontier with URL-seen dedup at schedule time,
+per-host politeness, global page budget, resumable state.
+
+Design for 10^10 URLs (the north rule):
+  - every stage is a DataFrame op partitioned by host (admit window,
+    politeness) or url (fetch join, seen anti-join); no driver-side loops
+    over rows, only over *iterations*;
+  - URL-seen = append-only `seen` parquet partitions + per-shard bloom
+    files (frontier/bloom.py) so the anti-join input shrinks map-side;
+  - checkpointed per-partition lineage: each iteration commits a JSON
+    checkpoint naming the frontier snapshot, the seen partitions, and the
+    bloom shard manifest (per-shard files = per-partition state) — crash
+    at any point resumes from the last committed checkpoint, exactly
+    (Q4, …/main/CrawlerManager.java:83-84's setResumableCrawling);
+  - ordering is fully deterministic: the priority key is
+    (depth, discovery_iter, score desc, url) where discovery_iter is the
+    iteration counter, never wall-clock — parity with the single-process
+    simulator (frontier/simulator.py) is testable.
+
+At production scale the parquet state dirs become Iceberg tables (append
+= snapshot commit, frontier rewrite = MERGE); the layout below keeps the
+same commit semantics on a plain filesystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmp_crawler_spark.extractors.udfs import discover_links, extract_pages
+from dmp_crawler_spark.frontier import bloom, politeness, robots as robots_mod
+from dmp_crawler_spark.frontier.urlnorm import (
+    normalize_url,
+    resolve_link,
+    with_url_cols,
+)
+from dmp_crawler_spark.functions.strings import expand_seed_template
+
+# F1 extension blacklist (shouldVisit, …/crawler/auto/Crawler4Autohome.java:53-54)
+EXT_BLACKLIST = r"(?i)\.(css|js|bmp|gif|jpe?g|png|tiff?|mid|mp2|mp3|mp4|wav|avi|mov|mpeg|ram|m4v|pdf|rm|smil|wmv|swf|wma|zip|rar|gz|ico)$"
+
+FRONTIER_COLS = [
+    "url", "host", "host_hash", "depth", "discovery_iter", "score", "retry_count",
+]
+
+
+class CorpusFetcher:
+    """Simulated HTTP: the 'web' is the pages corpus table. fetch(admitted)
+    joins on url; misses are fetch failures (S3 retry path). In production
+    this class is replaced by an Arrow-batched HTTP pandas UDF with bounded
+    retry — same output contract."""
+
+    def __init__(self, spark: SparkSession, pages_path: str):
+        self.pages = spark.read.parquet(pages_path)
+
+    def fetch(self, admitted: DataFrame) -> tuple[DataFrame, DataFrame]:
+        fetched = admitted.join(self.pages, "url", "inner")
+        missed = admitted.join(self.pages.select("url"), "url", "left_anti")
+        return fetched, missed
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        fetcher,
+        site_rules: DataFrame,
+        robots: DataFrame | None = None,
+        respect_robots: bool = False,
+        per_host_budget: int = 4,
+        global_budget: int | None = None,
+        max_retries: int = 3,
+        n_bloom_shards: int = 16,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.fetcher = fetcher
+        self.site_rules = site_rules.cache()
+        self.robots = robots
+        self.respect_robots = respect_robots
+        self.per_host_budget = per_host_budget
+        self.global_budget = global_budget
+        self.max_retries = max_retries
+        self.n_bloom_shards = n_bloom_shards
+        self.use_bloom = use_bloom
+        os.makedirs(os.path.join(state_dir, "checkpoints"), exist_ok=True)
+
+    # ---------------- state paths -------------------------------------
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.state_dir, *parts)
+
+    def _ckpt_path(self, k: int) -> str:
+        return self._p("checkpoints", f"ckpt_{k:06d}.json")
+
+    def last_checkpoint(self) -> dict | None:
+        d = self._p("checkpoints")
+        names = sorted(n for n in os.listdir(d) if n.startswith("ckpt_"))
+        if not names:
+            return None
+        with open(os.path.join(d, names[-1])) as f:
+            return json.load(f)
+
+    def _commit(self, ck: dict) -> None:
+        """Atomic commit point: state written first, checkpoint renamed last."""
+        path = self._ckpt_path(ck["iter"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, path)
+
+    def frontier_df(self, k: int) -> DataFrame:
+        return self.spark.read.parquet(self._p("frontier", f"v{k:06d}"))
+
+    def seen_df(self, upto_iter: int) -> DataFrame | None:
+        dirs = [
+            self._p("seen", f"iter={i:06d}")
+            for i in range(upto_iter + 1)
+            if os.path.exists(self._p("seen", f"iter={i:06d}"))
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    # ---------------- init --------------------------------------------
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """Seed expansion (S1, …/common/SeedParser.java:5-31) → frontier v0;
+        seeds enter `seen` at schedule time (crawler4j DocIDServer semantics)."""
+        expanded = (
+            seeds.select(F.explode(expand_seed_template("seed")).alias("url"))
+            .select(normalize_url("url").alias("url"))
+            .distinct()
+        )
+        fr = (
+            with_url_cols(expanded)
+            .join(F.broadcast(self.site_rules), F.expr("url rlike url_regex"), "left")
+            .groupBy("url", "host", "host_hash")
+            .agg(F.coalesce(F.max("score"), F.lit(0.0)).alias("score"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_iter", F.lit(0))
+            .withColumn("retry_count", F.lit(0))
+            .select(*FRONTIER_COLS)
+        )
+        fr.write.mode("overwrite").parquet(self._p("frontier", "v000000"))
+        fr_w = self.frontier_df(0)
+        self._write_seen(fr_w, 0)
+        manifest = self._build_bloom(0)
+        self._commit({
+            "iter": 0,
+            "frontier": self._p("frontier", "v000000"),
+            "seen_upto": 0,
+            "bloom_manifest": manifest,
+            "pages_crawled_total": 0,
+            "metrics": {"frontier_size": fr_w.count()},
+        })
+
+    def _write_seen(self, df: DataFrame, k: int) -> None:
+        (
+            df.select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                "host_hash",
+                F.lit(k).alias("scheduled_iter"),
+            )
+            .write.mode("overwrite")
+            .parquet(self._p("seen", f"iter={k:06d}"))
+        )
+
+    def _build_bloom(self, k: int) -> str | None:
+        if not self.use_bloom:
+            return None
+        seen = self.seen_df(k)
+        if seen is None:
+            return None
+        return bloom.build_shards(
+            seen, self._p("bloom", f"v{k:06d}"), self.n_bloom_shards
+        )
+
+    # ---------------- one iteration ------------------------------------
+    def step(self) -> dict:
+        ck = self.last_checkpoint()
+        if ck is None:
+            raise RuntimeError("init_from_seeds first")
+        k = ck["iter"] + 1
+        t0 = time.monotonic()
+        frontier = self.spark.read.parquet(ck["frontier"])
+
+        if self.respect_robots and self.robots is not None:
+            eligible = robots_mod.apply_robots(frontier, self.robots)
+        else:
+            eligible = frontier
+
+        remaining = (
+            None
+            if self.global_budget is None
+            else max(0, self.global_budget - ck["pages_crawled_total"])
+        )
+        admitted = politeness.admit(
+            eligible, self.per_host_budget, global_budget=remaining
+        ).select(*FRONTIER_COLS).cache()
+        n_admitted = admitted.count()
+
+        if n_admitted == 0:
+            metrics = {"admitted": 0, "frontier_size": frontier.count(), "done": True}
+            self._commit({**ck, "iter": k, "metrics": metrics})
+            return metrics
+
+        fetched, missed = self.fetcher.fetch(admitted)
+        fetched = fetched.cache()
+
+        # results + crawled page log
+        results = extract_pages(fetched)
+        results.write.mode("overwrite").parquet(self._p("results", f"iter={k:06d}"))
+        (
+            fetched.select(
+                "url", "host", "host_hash", "depth", "discovery_iter", "score",
+                F.lit(k).alias("crawl_iter"), "lang",
+            )
+            .write.mode("overwrite")
+            .parquet(self._p("crawled", f"iter={k:06d}"))
+        )
+
+        # retry / failed split (Q5/Q6, …/crawler/SimpleWebCrawler.java:14,73-78)
+        retry = missed.filter(F.col("retry_count") + 1 < self.max_retries).select(
+            "url", "host", "host_hash", "depth", "discovery_iter", "score",
+            (F.col("retry_count") + 1).alias("retry_count"),
+        )
+        failed = missed.filter(F.col("retry_count") + 1 >= self.max_retries)
+        failed.select(
+            "url", F.lit("fetch_miss").alias("reason"), F.lit(k).alias("iter")
+        ).write.mode("overwrite").parquet(self._p("failed", f"iter={k:06d}"))
+
+        # link discovery → normalize → should_visit gate → score (F1/F2)
+        links = discover_links(fetched).select(
+            "src_url",
+            normalize_url(resolve_link("src_url", "out_url")).alias("url"),
+        )
+        parent_depth = fetched.select(
+            F.col("url").alias("src_url"), F.col("depth").alias("parent_depth")
+        )
+        candidates = (
+            links.filter(~F.col("url").rlike(EXT_BLACKLIST))
+            .join(parent_depth, "src_url")
+            .join(F.broadcast(self.site_rules), F.expr("url rlike url_regex"), "inner")
+            .groupBy("url")
+            .agg(
+                F.min("parent_depth").alias("parent_depth"),
+                F.max("score").alias("score"),
+            )
+            .withColumn("depth", F.col("parent_depth") + 1)
+            .drop("parent_depth")
+        )
+        candidates = with_url_cols(candidates).withColumn(
+            "url_hash", F.xxhash64("url")
+        )
+
+        # J1 dedup vs seen (schedule-time semantics): bloom prefilter + anti-join
+        seen = self.seen_df(ck["iter"])
+        new_entries = (
+            bloom.dedup_candidates(candidates, seen, ck.get("bloom_manifest"))
+            .withColumn("discovery_iter", F.lit(k))
+            .withColumn("retry_count", F.lit(0))
+            .select(*FRONTIER_COLS)
+        )
+
+        # frontier' = (frontier − admitted) ∪ retries ∪ new
+        pending = frontier.join(admitted.select("url"), "url", "left_anti").select(
+            *FRONTIER_COLS
+        )
+        new_frontier = pending.unionByName(retry).unionByName(new_entries)
+        fdir = self._p("frontier", f"v{k:06d}")
+        new_frontier.write.mode("overwrite").parquet(fdir)
+
+        new_w = self.spark.read.parquet(fdir).filter(F.col("discovery_iter") == k)
+        self._write_seen(
+            new_w.filter(F.col("retry_count") == 0).select("url", "host_hash"), k
+        )
+        manifest = self._build_bloom(k)
+
+        n_failed = failed.count()
+        frontier_size = self.spark.read.parquet(fdir).count()
+        metrics = {
+            "admitted": n_admitted,
+            "fetched": fetched.count(),
+            "failed": n_failed,
+            "new_urls": new_w.filter(F.col("retry_count") == 0).count(),
+            "frontier_size": frontier_size,
+            "elapsed_sec": round(time.monotonic() - t0, 3),
+            "done": frontier_size == 0,
+        }
+        self._commit({
+            "iter": k,
+            "frontier": fdir,
+            "seen_upto": k,
+            "bloom_manifest": manifest,
+            "pages_crawled_total": ck["pages_crawled_total"] + n_admitted,
+            "metrics": metrics,
+        })
+        admitted.unpersist()
+        fetched.unpersist()
+        return metrics
+
+    def run(self, max_iters: int = 100) -> list[dict]:
+        out = []
+        for _ in range(max_iters):
+            m = self.step()
+            out.append(m)
+            if m.get("done"):
+                break
+        return out
+
+    # ---------------- read-back helpers for tests/analysis -------------
+    def crawled_df(self) -> DataFrame:
+        return self.spark.read.parquet(self._p("crawled"))
+
+    def results_df(self) -> DataFrame:
+        return self.spark.read.parquet(self._p("results"))

@@ -1,0 +1,305 @@
+"""Deduplication operators for web-text curation at 100 TB scale.
+
+All variants operate on a documents DataFrame (doc_id, text) and return
+DataFrames; everything except the hash math is built-in Column expressions
+(JVM-side). Shuffle analysis per operator in its docstring.
+
+ - exact_dedup:      one hash-groupBy shuffle on a 64-bit fingerprint
+ - minhash_lsh_dedup: shingle → minhash sigs (JVM xxhash64 + aggregate) →
+                      band buckets → self-join within buckets (the LSH
+                      trick keeps the join from being O(n²))
+ - simhash:          64-bit near-dup signature; hamming-ball grouping via
+                     band keys
+ - ngram_jaccard:    exact pairwise Jaccard, but only within LSH buckets
+ - embedding near-dup: cosine over an embedding column within LSH buckets
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dmp_crawler_spark.functions.textstats import doc_fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalized fingerprint. One shuffle;
+# partial aggregation makes the map side cheap. keep='min' gives a
+# deterministic survivor.
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    fp = doc_fingerprint(text_col).alias("fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, doc_ids) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash: num_hashes permutations simulated as xxhash64(shingle, seed_i);
+# signature[i] = min over shingles. All JVM-side: transform + aggregate.
+
+
+def minhash_signature(text_col: str | Column, num_hashes: int = 32, k_shingle: int = 5) -> Column:
+    sh = shingles(text_col, k_shingle)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket,
+    with their estimated Jaccard (signature agreement rate).
+
+    Plan: explode to (band_key, id) — narrow; groupBy band_key is the only
+    wide shuffle; within-bucket self-join is tiny when buckets are small
+    (hot buckets are exact-dup clusters, handled upstream by exact_dedup).
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, k_shingle).alias("sig"),
+    )
+    banded = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair above threshold.
+    (Union-find clustering is a driver-free iteration at scale; pair-drop
+    is the standard single-pass approximation.)"""
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, **kw).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature; bit i = sign of Σ weight(token)·(±1 from
+# token hash bit i). Pure JVM: explode tokens → per-bit aggregate.
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ])
+    sig = bit_sums.select(
+        "id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+             for i in range(64)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig.withColumnRenamed("id", id_col)
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash: 4-band pigeonhole (hamming ≤3 ⇒ some
+    16-bit band equal) → bucket join → exact popcount check."""
+    sig = simhash(docs, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            ) for b in range(4)
+        ])).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: exact set Jaccard over shingles, evaluated only on LSH
+# candidate pairs (never all-pairs).
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k_shingle: int = 3,
+                        threshold: float = 0.5, **lsh_kw) -> DataFrame:
+    cand = minhash_lsh_pairs(docs, id_col, text_col, k_shingle=k_shingle, **lsh_kw)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, k_shingle)).alias("sh"),
+    )
+    j = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select(
+            "id_a", "id_b",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup: normalize, LSH via random-hyperplane sign bits
+# (deterministic hyperplanes from xxhash64 of (dim, seed)), bucket join,
+# exact cosine via zip_with/aggregate — JVM-side, no UDF.
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cosine(a, b)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Near-duplicate vectors: sign-LSH buckets then exact cosine."""
+    rows_per_band = n_planes // bands
+    dim = F.size(F.col(vec_col))
+
+    def plane_dot(p: int) -> Column:
+        # pseudo-random hyperplane component for (dim_index, plane p):
+        # xxhash64(i, p) mapped to [-1, 1]
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(0), dim - 1),
+                            lambda i: (F.xxhash64(i.cast("string"), F.lit(p)) % 1000) / 500.0 - 1.0),
+                lambda v, w: v * w,
+            ),
+            F.lit(0.0), lambda s, v: s + v,
+        )
+
+    bits = [F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in range(n_planes)]
+    sig = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.array(*bits).alias("bits"),
+    )
+    banded = sig.select(
+        "id", "vec",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("", *[
+                    F.element_at("bits", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]).alias("bucket"),
+            ) for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "vec", "bk.band", "bk.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            _cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

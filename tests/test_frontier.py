@@ -1,0 +1,229 @@
+"""Frontier engine tests: ordering parity vs the single-process simulator,
+bloom-shard dedup, robots evaluation, politeness budgets, checkpoint resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmp_crawler_spark.corpus import generator, templates
+from dmp_crawler_spark.frontier import bloom, politeness, robots as robots_mod
+from dmp_crawler_spark.frontier.scheduler import CorpusFetcher, CrawlEngine
+from dmp_crawler_spark.frontier.simulator import FrontierSimulator
+from dmp_crawler_spark.frontier.urlnorm import normalize_url, resolve_link
+
+N_URLS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "pages")
+    generator.write_pages(spark, N_URLS, p, partitions=4)
+    return p
+
+
+def _seeds(n=6):
+    return [templates.url_for((i * 9973) % N_URLS, N_URLS) for i in range(n)] + [
+        f"http://{templates.host_for(1, N_URLS)}/bbs_post/[1-3].html"
+    ]
+
+
+def _rules():
+    return [
+        (rf"https?://[^/]+/{arch}/\d+\.html", 1.0 + i * 0.1)
+        for i, arch in enumerate(templates.ARCHETYPES)
+    ]
+
+
+def _mk_engine(spark, corpus_path, tmp_path, **kw):
+    fetcher = CorpusFetcher(spark, corpus_path)
+    site_rules = generator.generate_site_rules(spark)
+    return CrawlEngine(
+        spark, str(tmp_path), fetcher, site_rules,
+        per_host_budget=kw.pop("per_host_budget", 3),
+        global_budget=kw.pop("global_budget", None),
+        n_bloom_shards=8, **kw,
+    )
+
+
+def _visit_sets(engine):
+    rows = engine.crawled_df().select("crawl_iter", "url").collect()
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r["crawl_iter"], set()).add(r["url"])
+    return out
+
+
+def test_ordering_parity_with_simulator(spark, corpus_path, tmp_path):
+    seeds = _seeds()
+    engine = _mk_engine(spark, corpus_path, tmp_path)
+    engine.init_from_seeds(spark.createDataFrame([(s, "") for s in seeds], "seed string, site string"))
+    engine.run(max_iters=4)
+
+    sim = FrontierSimulator(N_URLS, _rules(), per_host_budget=3)
+    sim.init_from_seeds(seeds)
+    sim.run(max_iters=4)
+
+    sim_visits: dict[int, set] = {}
+    for it, url in sim.state.visit_order:
+        sim_visits.setdefault(it, set()).add(url)
+    assert _visit_sets(engine) == sim_visits
+
+    engine_seen = {
+        r["url"] for r in engine.seen_df(sim.state.iter).select("url").collect()
+    }
+    assert engine_seen == sim.state.seen
+
+
+def test_global_budget_parity(spark, corpus_path, tmp_path):
+    seeds = _seeds()
+    engine = _mk_engine(spark, corpus_path, tmp_path, global_budget=25)
+    engine.init_from_seeds(spark.createDataFrame([(s, "") for s in seeds], "seed string, site string"))
+    engine.run(max_iters=5)
+    sim = FrontierSimulator(N_URLS, _rules(), per_host_budget=3, global_budget=25)
+    sim.init_from_seeds(seeds)
+    sim.run(max_iters=5)
+    assert _visit_sets(engine) == {
+        it_url[0]: {u for i2, u in sim.state.visit_order if i2 == it_url[0]}
+        for it_url in sim.state.visit_order
+    }
+    total = sum(len(v) for v in _visit_sets(engine).values())
+    assert total <= 25
+
+
+def test_resume_from_checkpoint(spark, corpus_path, tmp_path):
+    seeds = _seeds()
+    sdf = spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+
+    full = _mk_engine(spark, corpus_path, tmp_path / "full")
+    full.init_from_seeds(sdf)
+    full.run(max_iters=3)
+
+    part = _mk_engine(spark, corpus_path, tmp_path / "part")
+    part.init_from_seeds(sdf)
+    part.run(max_iters=2)
+    # simulate crash + resume: brand-new engine object on the same state dir
+    resumed = _mk_engine(spark, corpus_path, tmp_path / "part")
+    resumed.run(max_iters=1)
+
+    assert _visit_sets(full) == _visit_sets(resumed)
+    k = full.last_checkpoint()["iter"]
+    a = {r["url"] for r in full.seen_df(k).collect()}
+    b = {r["url"] for r in resumed.seen_df(k).collect()}
+    assert a == b
+
+
+def test_failed_urls_retry_then_fail(spark, corpus_path, tmp_path):
+    # a seed pointing at a URL not in the corpus exercises S3 retry + Q6
+    bogus = "http://h1.example.com/article/99999999.html"
+    engine = _mk_engine(spark, corpus_path, tmp_path, max_retries=2)
+    engine.init_from_seeds(spark.createDataFrame([(bogus, "")], "seed string, site string"))
+    engine.run(max_iters=4)
+    failed = spark.read.parquet(str(tmp_path / "failed")).collect()
+    assert any(r["url"] == bogus for r in failed)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    seen = spark.range(0, 5000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url")
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "host_hash", F.xxhash64(F.lower(F.parse_url("url", F.lit("HOST")))))
+    import tempfile
+    d = tempfile.mkdtemp()
+    manifest = bloom.build_shards(seen, d, n_shards=8)
+    # every seen url must be maybe_seen=True (no false negatives)
+    tagged = bloom.prefilter(seen, manifest)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+    # most unseen urls should be filtered out (FP rate sanity)
+    unseen = spark.range(5000, 10000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url")
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "host_hash", F.xxhash64(F.lower(F.parse_url("url", F.lit("HOST")))))
+    fp = bloom.prefilter(unseen, manifest).filter(F.col("maybe_seen")).count()
+    assert fp < 50  # fpp=1e-4 nominal; generous bound
+
+
+def test_dedup_candidates_exactness(spark):
+    import tempfile
+    seen = spark.createDataFrame(
+        [(f"http://a.com/{i}",) for i in range(100)], "url string"
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn("host_hash", F.xxhash64(F.lit("a.com")))
+    d = tempfile.mkdtemp()
+    manifest = bloom.build_shards(seen, d, n_shards=4)
+    cands = spark.createDataFrame(
+        [(f"http://a.com/{i}",) for i in range(50, 150)], "url string"
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn("host_hash", F.xxhash64(F.lit("a.com")))
+    new = bloom.dedup_candidates(cands, seen.select("url"), manifest)
+    got = sorted(r["url"] for r in new.collect())
+    assert got == sorted(f"http://a.com/{i}" for i in range(100, 150))
+
+
+def test_robots_disallow_and_delay(spark):
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.com", "*", "disallow", "/private/", 0),
+            ("h0.example.com", "*", "allow", "/", 2000),
+            ("h1.example.com", "*", "allow", "/", 0),
+        ],
+        "host string, user_agent string, rule string, path_prefix string, crawl_delay_ms int",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://h0.example.com/private/x.html", "h0.example.com"),
+            ("http://h0.example.com/public/x.html", "h0.example.com"),
+            ("http://h1.example.com/anything.html", "h1.example.com"),
+            ("http://h2.example.com/norules.html", "h2.example.com"),
+        ],
+        "url string, host string",
+    )
+    out = robots_mod.apply_robots(frontier, robots)
+    urls = {r["url"]: r["crawl_delay_ms"] for r in out.collect()}
+    assert "http://h0.example.com/private/x.html" not in urls
+    assert urls["http://h0.example.com/public/x.html"] == 2000
+    assert urls["http://h1.example.com/anything.html"] == 0
+    assert urls["http://h2.example.com/norules.html"] is None
+
+
+def test_politeness_budget_never_violated(spark):
+    rows = [
+        (f"http://h{i % 3}.example.com/p/{i}.html", f"h{i % 3}.example.com",
+         i % 4, 0, 1.0, 0)
+        for i in range(60)
+    ]
+    fr = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, discovery_iter int, score double, retry_count int",
+    )
+    admitted = politeness.admit(fr, per_host_budget=5)
+    per_host = admitted.groupBy("host").count().collect()
+    assert all(r["count"] <= 5 for r in per_host)
+    # admitted rows are exactly the top-5 by priority key per host
+    top = sorted(
+        [r for r in rows if r[1] == "h0.example.com"],
+        key=lambda r: (r[2], r[3], -r[4], r[0]),
+    )[:5]
+    got = sorted(
+        r["url"] for r in admitted.filter(F.col("host") == "h0.example.com").collect()
+    )
+    assert got == sorted(t[0] for t in top)
+
+
+def test_url_normalization_and_resolve(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://A.Com/x/y.html", "z.html", "http://a.com/x/z.html"),
+            ("http://a.com/x/y.html", "/root.html", "http://a.com/root.html"),
+            ("http://a.com/x/y.html", "//b.com/c", "http://b.com/c"),
+            ("http://a.com/x/y.html", "http://c.com/d#frag", "http://c.com/d"),
+        ],
+        "src string, href string, expected string",
+    )
+    out = df.select(
+        normalize_url(resolve_link("src", "href")).alias("got"), "expected"
+    ).collect()
+    for r in out:
+        assert r["got"] == r["expected"], r
