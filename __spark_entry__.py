@@ -1,38 +1,790 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() — one entry per implemented operator from SURVEY.md §2 (plus the
+training-data operators); oracle_sql() — the DuckDB-equivalent ANSI SQL.
+Aliases match exactly between both sides; float aggregates are rounded on
+both sides so order-of-summation noise can't flip the value hash.
+
+Operator ↔ query map (SURVEY.md §2 ids in names):
+  q1_pricing_summary  hash agg w/ partial+final (A1/A5)
+  a1_distinct         DISTINCT (A1)
+  a2_collect_set_str  collect_set + join-to-string (A2)
+  a3_count_distinct   count / countDistinct (A3)
+  j1_anti_join_seen   anti-join dedup-before-work (J1)
+  j2_freshness_expiry as-of freshness predicate (J2)
+  j3_broadcast_lookup broadcast dimension join (J3)
+  j4_enrichment_join  per-key enrichment join (J4)
+  j5_self_join_pairs  self-join hierarchy/pairing (J5)
+  w1_priority_ranking politeness/priority window (W1/Q3)
+  w2_first_match      first-match semantics (W2)
+  w3_pagination       pagination unroll explode (W3)
+  s1_seed_explode     seed range-template expansion (S1)
+  f1_extension_filter extension-blacklist predicate (F1)
+  f4_recency_filter   current-year filter (F4)
+  f5_junk_filter      junk/empty-content filter (F5)
+  set_union_distinct  union + distinct (§2.6)
+  c1_regex_extract    regexpExtract semantics (C1)
+  c_dates_pipeline    date helpers C4-C8 incl. sentinel (C4-C8)
+  c14_md5_dedup       md5 fingerprint dedup (C14)
+  c20_jsonp_unwrap    JSONP unwrap + JSON field (C19/C20)
+  lang_id / quality_score / token_counts  text analysis
+  dedup_exact_norm    exact dedup on normalized text
+  ann_topk / embedding_near_pairs  similarity search
+  event_hourly / event_gaps  event-time analytics (streaming batch form)
+Rows-only (non-SQL-expressible): minhash_pairs, simhash_pairs, ivf_topk,
+  multimodal_features, crawl_engine_smoke.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dmp_crawler_spark.functions import strings as S
+from dmp_crawler_spark.functions import textstats as TS
+
+EXT_BLACKLIST = r"(?i)\.(css|js|gif|jpe?g|png|mp3|mp4|zip|gz|ico)$"
+
+_STOP = "the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as|by|at|be"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: priority-ranked per-host admission (the politeness window,
+    W1/Q3) joined with a broadcast dimension — the crawl scheduler's core
+    plan shape, on the events table at sf0.001."""
+    return w1_priority_ranking(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (each returns an aliased, oracle-matched DF)
+
+
+def q1_pricing_summary(spark, d):
+    li = _t(spark, d, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def a1_distinct(spark, d):
+    return _t(spark, d, "orders").select("o_orderpriority").distinct()
+
+
+def a2_collect_set_str(spark, d):
+    return (
+        _t(spark, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+    )
+
+
+def a3_count_distinct(spark, d):
+    return (
+        _t(spark, d, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def j1_anti_join_seen(spark, d):
+    part = _t(spark, d, "part")
+    li = _t(spark, d, "lineitem")
+    return part.join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey",
+                     "left_anti").select("p_partkey", "p_brand")
+
+
+def j2_freshness_expiry(spark, d):
+    o = _t(spark, d, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    return (
+        o.crossJoin(mx)
+        .filter(F.col("o_orderdate") <= F.col("mx") - F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_expired"))
+    )
+
+
+def j3_broadcast_lookup(spark, d):
+    li = _t(spark, d, "lineitem")
+    part = _t(spark, d, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def j4_enrichment_join(spark, d):
+    o = _t(spark, d, "orders")
+    li = _t(spark, d, "lineitem")
+    enrich = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("items_price"),
+    )
+    return (
+        o.join(enrich, o.o_orderkey == enrich.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_items").alias("sum_items"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("n_items").isNull(), 1).otherwise(0)).alias("n_empty"),
+        )
+    )
+
+
+def j5_self_join_pairs(spark, d):
+    c = _t(spark, d, "customer")
+    n = _t(spark, d, "nation")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).groupBy(F.col("a.c_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return pairs.join(F.broadcast(n), "n_nationkey").select(
+        "n_name", "n_pairs"
+    )
+
+
+def w1_priority_ranking(spark, d):
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            "event_id",
+            "rn",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+def w2_first_match(spark, d):
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event_type"))
+    )
+
+
+def w3_pagination(spark, d):
+    part = _t(spark, d, "part")
+    return part.select(
+        "p_partkey",
+        F.explode(F.sequence(F.lit(1), F.pmod("p_size", F.lit(5)) + 1)).alias("page"),
+    )
+
+
+def s1_seed_explode(spark, d):
+    r = _t(spark, d, "region")
+    seeds = r.select(
+        F.concat(
+            F.lit("http://h"),
+            F.col("r_regionkey").cast("string"),
+            F.lit(".example.com/list/s1-[1-4].html"),
+        ).alias("seed")
+    )
+    return seeds.select(
+        F.explode(S.expand_seed_template("seed")).alias("url")
+    )
+
+
+def f1_extension_filter(spark, d):
+    part = _t(spark, d, "part")
+    url = F.concat(
+        F.lit("http://img.example.com/"),
+        F.regexp_replace("p_name", " ", "-"),
+        F.when(F.pmod("p_partkey", F.lit(3)) == 0, F.lit(".jpg")).otherwise(F.lit(".html")),
+    )
+    return (
+        part.select("p_partkey", url.alias("url"))
+        .filter(~F.col("url").rlike(EXT_BLACKLIST))
+    )
+
+
+def f4_recency_filter(spark, d):
+    ev = _t(spark, d, "events")
+    mx = ev.agg(F.max(F.year("ts")).alias("max_year"))
+    return (
+        ev.crossJoin(mx)
+        .filter(F.year("ts") == F.col("max_year"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+def f5_junk_filter(spark, d):
+    docs = _t(spark, d, "documents")
+    return (
+        docs.filter(
+            (F.length(F.trim(F.col("text"))) > 0)
+            & ~F.col("text").contains("lorem ipsum")
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+def set_union_distinct(spark, d):
+    o = _t(spark, d, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.union(urgent).distinct()
+
+
+def c1_regex_extract(spark, d):
+    c = _t(spark, d, "customer")
+    return c.select(
+        "c_custkey",
+        S.regexp_extract_trim("c_name", r"Customer#(\d+)", 1).alias("cust_num"),
+        S.regexp_extract_trim("c_name", r"(XYZ\d+)", 1).alias("miss_is_empty"),
+    )
+
+
+def c_dates_pipeline(spark, d):
+    o = _t(spark, d, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    compact = F.date_format("o_orderdate", "yyyyMMdd")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").cast("string").alias("epoch_sec"),  # C5
+        compact.alias("compact_date"),                                       # C8
+        S.string_insert(compact, "-", 4).alias("dashed"),                     # C6
+        S.complete_datetime(date_str).alias("completed"),                     # C7
+        S.complete_datetime(F.lit("")).alias("sentinel"),                     # C7 sentinel
+    )
+
+
+def c14_md5_dedup(spark, d):
+    docs = _t(spark, d, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def c20_jsonp_unwrap(spark, d):
+    ev = _t(spark, d, "events")
+    jsonp = F.concat(F.lit("jQuery123("), F.col("props"), F.lit(");"))
+    inner = S.jsonp_unwrap(jsonp)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object(inner, "$.k").alias("k_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+
+
+def lang_id(spark, d):
+    docs = _t(spark, d, "documents")
+    c = F.col("text")
+    ln = F.length(c)
+    cjk = ln - F.length(F.regexp_replace(c, "[一-鿿]", ""))
+    latin = ln - F.length(F.regexp_replace(c, "[A-Za-z]", ""))
+    label = (
+        F.when((ln > 0) & (cjk / ln > 0.25), F.lit("zh"))
+        .when((ln > 0) & (latin / ln > 0.4), F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select("doc_id", "lang", label.alias("lang_pred"))
+
+
+def token_counts(spark, d):
+    docs = _t(spark, d, "documents")
+    t = F.trim(F.col("text"))
+    ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(TS.TOKEN_REGEX), F.lit(0)))
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def quality_score(spark, d):
+    docs = _t(spark, d, "documents")
+    c = F.col("text")
+    ln = F.length(c)
+    punct = ln - F.length(F.regexp_replace(c, r"[\p{P}\p{S}]", ""))
+    t = F.trim(c)
+    toks = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    mwl = F.when(toks > 0, nonspace / toks).otherwise(F.lit(0.0))
+    sw = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"\b(" + _STOP + r")\b"), F.lit(0))
+    )
+    swr = F.when(toks > 0, sw / toks).otherwise(F.lit(0.0))
+    cjk = ln - F.length(F.regexp_replace(c, "[一-鿿]", ""))
+    length_ok = F.when((ln >= 50) & (ln <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when((ln > 0) & (punct / ln < 0.3), 1.0).otherwise(0.0)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    sw_ok = F.when((swr > 0.05) | ((ln > 0) & (cjk / ln > 0.25)), 1.0).otherwise(0.0)
+    score = F.round((length_ok + punct_ok + word_ok + sw_ok) / 4.0, 4)
+    return docs.select("doc_id", score.alias("quality"))
+
+
+def dedup_exact_norm(spark, d):
+    docs = _t(spark, d, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[\p{P}]", ""), r"\s+", " ")
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity (embeddings)
+
+
+def _cos(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def ann_topk(spark, d):
+    emb = _t(spark, d, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", F.round(_cos(F.col("vec"), F.col("qvec")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def embedding_near_pairs(spark, d):
+    emb = _t(spark, d, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.9)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time analytics (batch form of the streaming stage)
+
+
+def event_hourly(spark, d):
+    ev = _t(spark, d, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def event_gaps(spark, d):
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            # exact integer aggregates: Spark's HALF_UP round vs DuckDB's
+            # HALF_EVEN disagree on avg() midpoints, so avg is left to the
+            # consumer (sum/count are lossless)
+            F.sum("gap").alias("sum_gap_sec"),
+            F.count("gap").alias("n_gaps"),
+            F.max("gap").alias("max_gap_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) operators
+
+
+def minhash_pairs_q(spark, d):
+    from dmp_crawler_spark.operators import dedup as dd
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return dd.minhash_lsh_pairs(docs, num_hashes=16, bands=8, k_shingle=3).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def simhash_pairs_q(spark, d):
+    from dmp_crawler_spark.operators import dedup as dd
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return dd.simhash_near_pairs(docs, max_hamming=3)
+
+
+def ivf_topk_q(spark, d):
+    from dmp_crawler_spark.operators import similarity as sim
+    emb = _t(spark, d, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    indexed, centroids = sim.build_ivf_index(emb, n_cells=8)
+    return sim.ivf_topk(indexed, centroids, q, k=5, n_probe=3)
+
+
+def multimodal_features_q(spark, d):
+    from dmp_crawler_spark.operators import multimodal as mm
+    media = mm.generate_media(spark, 64)
+    return mm.extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def crawl_engine_smoke(spark, d):
+    """End-to-end micro-crawl on a generated corpus: returns per-iteration
+    visit log. Non-SQL-expressible (iterative, stateful, checkpointed)."""
+    import tempfile
+    from dmp_crawler_spark.corpus import generator
+    from dmp_crawler_spark.frontier.scheduler import CorpusFetcher, CrawlEngine
+
+    n = 150
+    tmp = tempfile.mkdtemp(prefix="crawl_smoke_")
+    corpus = f"{tmp}/pages"
+    generator.write_pages(spark, n, corpus, partitions=4)
+    from dmp_crawler_spark.corpus import templates
+    seeds = spark.createDataFrame(
+        [(templates.url_for(i * 17 % n, n), "") for i in range(4)],
+        "seed string, site string",
+    )
+    eng = CrawlEngine(
+        spark, f"{tmp}/state", CorpusFetcher(spark, corpus),
+        generator.generate_site_rules(spark),
+        per_host_budget=4, n_bloom_shards=8,
+    )
+    eng.init_from_seeds(seeds)
+    eng.run(max_iters=2)
+    return eng.crawled_df().select("url", "host", "depth", "crawl_iter")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "a1_distinct": a1_distinct,
+        "a2_collect_set_str": a2_collect_set_str,
+        "a3_count_distinct": a3_count_distinct,
+        "j1_anti_join_seen": j1_anti_join_seen,
+        "j2_freshness_expiry": j2_freshness_expiry,
+        "j3_broadcast_lookup": j3_broadcast_lookup,
+        "j4_enrichment_join": j4_enrichment_join,
+        "j5_self_join_pairs": j5_self_join_pairs,
+        "w1_priority_ranking": w1_priority_ranking,
+        "w2_first_match": w2_first_match,
+        "w3_pagination": w3_pagination,
+        "s1_seed_explode": s1_seed_explode,
+        "f1_extension_filter": f1_extension_filter,
+        "f4_recency_filter": f4_recency_filter,
+        "f5_junk_filter": f5_junk_filter,
+        "set_union_distinct": set_union_distinct,
+        "c1_regex_extract": c1_regex_extract,
+        "c_dates_pipeline": c_dates_pipeline,
+        "c14_md5_dedup": c14_md5_dedup,
+        "c20_jsonp_unwrap": c20_jsonp_unwrap,
+        "lang_id": lang_id,
+        "token_counts": token_counts,
+        "quality_score": quality_score,
+        "dedup_exact_norm": dedup_exact_norm,
+        "ann_topk": ann_topk,
+        "embedding_near_pairs": embedding_near_pairs,
+        "event_hourly": event_hourly,
+        "event_gaps": event_gaps,
+        # rows-only
+        "minhash_pairs": minhash_pairs_q,
+        "simhash_pairs": simhash_pairs_q,
+        "ivf_topk": ivf_topk_q,
+        "multimodal_features": multimodal_features_q,
+        "crawl_engine_smoke": crawl_engine_smoke,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "a1_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
+        "a2_collect_set_str": """
+            SELECT o_custkey,
+                   string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+            FROM orders GROUP BY o_custkey
+        """,
+        "a3_count_distinct": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "j1_anti_join_seen": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "j2_freshness_expiry": """
+            SELECT o_orderpriority, count(*) AS n_expired
+            FROM orders
+            WHERE o_orderdate <= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+            GROUP BY o_orderpriority
+        """,
+        "j3_broadcast_lookup": """
+            SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "j4_enrichment_join": """
+            WITH enrich AS (
+                SELECT l_orderkey, count(*) AS n_items,
+                       round(sum(l_extendedprice), 2) AS items_price
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderstatus,
+                   sum(n_items) AS sum_items,
+                   count(*) AS n_orders,
+                   sum(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END) AS n_empty
+            FROM orders LEFT JOIN enrich ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "j5_self_join_pairs": """
+            SELECT n_name, count(*) AS n_pairs
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            JOIN nation ON a.c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "w1_priority_ranking": """
+            SELECT event_type, event_id, rn,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 5
+        """,
+        "w2_first_match": """
+            SELECT user_id, event_type AS first_event_type
+            FROM (
+                SELECT user_id, event_type, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "w3_pagination": """
+            SELECT p_partkey, g.page
+            FROM part, LATERAL (SELECT unnest(generate_series(1, (p_size % 5) + 1)) AS page) g
+        """,
+        "s1_seed_explode": """
+            SELECT 'http://h' || CAST(r_regionkey AS VARCHAR)
+                   || '.example.com/list/s1-' || CAST(g.i AS VARCHAR) || '.html' AS url
+            FROM region, LATERAL (SELECT unnest(generate_series(1, 4)) AS i) g
+        """,
+        "f1_extension_filter": """
+            SELECT p_partkey,
+                   'http://img.example.com/' || replace(p_name, ' ', '-')
+                   || (CASE WHEN p_partkey % 3 = 0 THEN '.jpg' ELSE '.html' END) AS url
+            FROM part
+            WHERE NOT regexp_matches(
+                'http://img.example.com/' || replace(p_name, ' ', '-')
+                || (CASE WHEN p_partkey % 3 = 0 THEN '.jpg' ELSE '.html' END),
+                '(?i)\\.(css|js|gif|jpe?g|png|mp3|mp4|zip|gz|ico)$')
+        """,
+        "f4_recency_filter": """
+            SELECT event_type, count(*) AS n_recent
+            FROM events
+            WHERE year(ts) = (SELECT max(year(ts)) FROM events)
+            GROUP BY event_type
+        """,
+        "f5_junk_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE length(trim(text)) > 0 AND text NOT LIKE '%lorem ipsum%'
+        """,
+        "set_union_distinct": """
+            SELECT DISTINCT o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+                UNION ALL
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "c1_regex_extract": """
+            SELECT c_custkey,
+                   trim(regexp_extract(c_name, 'Customer#(\\d+)', 1)) AS cust_num,
+                   trim(regexp_extract(c_name, '(XYZ\\d+)', 1)) AS miss_is_empty
+            FROM customer
+        """,
+        "c_dates_pipeline": """
+            SELECT o_orderkey,
+                   CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) AS epoch_sec,
+                   strftime(o_orderdate, '%Y%m%d') AS compact_date,
+                   substr(strftime(o_orderdate, '%Y%m%d'), 1, 4) || '-' ||
+                       substr(strftime(o_orderdate, '%Y%m%d'), 5) AS dashed,
+                   strftime(o_orderdate, '%Y-%m-%d') || ' 00:00:00' AS completed,
+                   '1970-00-00 00:00:00' AS sentinel
+            FROM orders
+        """,
+        "c14_md5_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY 1
+        """,
+        "c20_jsonp_unwrap": """
+            SELECT event_id,
+                   json_extract_string(
+                       regexp_extract('jQuery123(' || props || ');',
+                                      '^\\s*[\\w$.]*\\((.*)\\)\\s*;?\\s*$', 1),
+                       '$.k') AS k_val
+            FROM events
+        """,
+        "lang_id": """
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN length(text) > 0 AND
+                          (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+                          / length(text) > 0.25 THEN 'zh'
+                     WHEN length(text) > 0 AND
+                          (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                          / length(text) > 0.4 THEN 'en'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[一-鿿]|[^\\sA-Za-z0-9一-鿿]')) AS bpe_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            WITH m AS (
+                SELECT doc_id,
+                       length(text) AS ln,
+                       length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS punct,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as|by|at|be)\\b')) AS sw,
+                       length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+                FROM documents
+            )
+            SELECT doc_id, round((
+                (CASE WHEN ln >= 50 AND ln <= 100000 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN ln > 0 AND punct / ln < 0.3 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN toks > 0 AND nonspace / toks >= 2.0 AND nonspace / toks <= 12.0
+                      THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN (toks > 0 AND sw / toks > 0.05) OR (ln > 0 AND cjk / ln > 0.25)
+                      THEN 1.0 ELSE 0.0 END)
+            ) / 4.0, 4) AS quality
+            FROM m
+        """,
+        "dedup_exact_norm": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[\\p{P}]', '', 'g'),
+                                         '\\s+', ' ', 'g'))
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+        """,
+        "event_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+                FROM events
+            )
+            SELECT user_id, sum(gap) AS sum_gap_sec, count(gap) AS n_gaps,
+                   max(gap) AS max_gap_sec
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id
+        """,
+    }

@@ -166,8 +166,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     sig = bit_sums.select(
         "id",
         sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-             for i in range(64)],
+            [
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),  # bit 63 wraps to the sign bit, as intended
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )

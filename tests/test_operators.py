@@ -1,0 +1,137 @@
+"""Training-data operators: dedup suite, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmp_crawler_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near dup
+        (4, "completely different text about apache spark distributed computing engines"),
+        (5, "another unrelated document mentioning parquet files and shuffle partitions"),
+        (6, "The  quick  brown fox jumps over the lazy dog again and again today"),  # ws/case dup of 1
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # 2 and 6 collapse into 1
+
+
+def test_exact_dup_groups(docs):
+    g = dedup.exact_dup_groups(docs).collect()
+    assert len(g) == 1
+    assert g[0]["doc_ids"] == [1, 2, 6]
+
+
+def test_minhash_pairs_find_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, k_shingle=3)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) in got and got[(1, 3)] > 0.4
+    assert (4, 5) not in got
+
+
+def test_minhash_dedup(docs):
+    out = dedup.minhash_dedup(docs, threshold=0.99, num_hashes=32, bands=16, k_shingle=3)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 2 not in ids and 4 in ids and 5 in ids
+
+
+def test_simhash_near_pairs(docs):
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k_shingle=3, threshold=0.3, num_hashes=32, bands=16
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert 0.5 < got.get((1, 3), 0) < 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8.0 * math.pi
+        vec = [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 1.0]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup(embeddings):
+    pairs = dedup.embedding_near_dup_pairs(embeddings, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # vectors i and i+24 (same angle, same i%3) are identical
+    assert (0, 24) in got
+    assert all(a % 8 == b % 8 for a, b in got)
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(embeddings, q, k=5)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(embeddings, q, k=5)
+    indexed, centroids = similarity.build_ivf_index(embeddings, n_cells=4)
+    approx = similarity.ivf_topk(indexed, centroids, q, k=5, n_probe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # 3/4 cells probed
+
+
+def test_multimodal_features(spark):
+    media = multimodal.generate_media(spark, 30)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.generate_media(spark, 12)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    per = {r["media_id"]: r["frame_idx"] for r in frames.collect()}
+    vids = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()
+            if r["kind"] != "image"}
+    n_by_media = frames.groupBy("media_id").count().collect()
+    for r in n_by_media:
+        dur = vids.get(r["media_id"])
+        exp = max(1, (dur or 0) // 1000)
+        assert r["count"] == exp
+
+
+def test_multimodal_strict_raises(spark):
+    media = multimodal.generate_media(spark, 3)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, strict=True)

@@ -1,0 +1,67 @@
+"""Plan-shape tests: broadcast where intended, pushdown reaching the scan,
+column pruning keeping the fat html column out of non-extraction stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmp_crawler_spark.plans import inspect
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def part(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+
+
+def test_dimension_join_is_broadcast(lineitem, part):
+    df = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    assert inspect.uses_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    df = lineitem.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    pushed = inspect.pushed_filters(df)
+    assert "l_orderkey" in pushed
+
+
+def test_column_pruning(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_extract_stage_prunes_html_from_output(spark):
+    """The extraction stage must select only (url, html) into the Python
+    worker and html must not survive into the output plan."""
+    from dmp_crawler_spark.corpus import generator
+    from dmp_crawler_spark.extractors.udfs import extract_pages
+
+    pages = generator.generate_pages(spark, 50, partitions=2)
+    out = extract_pages(pages)
+    assert "html" not in out.columns
+    assert "text" not in out.columns
+
+
+def test_admission_plan_single_shuffle(spark):
+    """Politeness admission = exactly one hash exchange (on host)."""
+    from dmp_crawler_spark.frontier import politeness
+
+    fr = spark.createDataFrame(
+        [(f"http://h{i%5}.x/{i}", f"h{i%5}.x", i % 3, 0, 1.0, 0) for i in range(100)],
+        "url string, host string, depth int, discovery_iter int, score double, retry_count int",
+    )
+    admitted = politeness.admit(fr, per_host_budget=3)
+    assert inspect.count_exchanges(admitted) == 1
+
+
+def test_oracle_queries_use_wholestage_codegen(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    assert inspect.wholestage_codegen_ids(df) >= 1
