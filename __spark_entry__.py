@@ -314,6 +314,52 @@ def c20_jsonp_unwrap(spark, d):
     )
 
 
+def c2_c3_clean(spark, d):
+    docs = _t(spark, d, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(S.remove_punctuations("text")).alias("len_clean"),
+        F.length(S.remove_line_break("text")).alias("len_nolb"),
+    )
+
+
+def c13_c15_encodings(spark, d):
+    c = _t(spark, d, "customer")
+    sex_src = F.when(F.pmod("c_custkey", F.lit(2)) == 0, F.lit("男")).otherwise(F.lit("她"))
+    return c.select(
+        "c_custkey",
+        S.gender_code(sex_src).alias("sex_code"),
+        S.classification_name(F.col("c_nationkey") + 1).alias("cls_name"),
+    )
+
+
+def semi_join_exists(spark, d):
+    o = _t(spark, d, "orders")
+    li = _t(spark, d, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 49).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(hot, "o_orderkey", "left_semi").select("o_orderkey", "o_orderstatus")
+
+
+def a4_map_assembly(spark, d):
+    """A4 grouped nested-map assembly → JSON (the zhishiku fold,
+    …/crawler/ms/Crawler4Zhishiku.java:108-201): per customer, a JSON map
+    of order-status → count with deterministic key order."""
+    o = _t(spark, d, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("o_custkey")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+                )
+            ).alias("status_counts")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 
@@ -535,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_junk_filter": f5_junk_filter,
         "set_union_distinct": set_union_distinct,
         "c1_regex_extract": c1_regex_extract,
+        "c2_c3_clean": c2_c3_clean,
+        "c13_c15_encodings": c13_c15_encodings,
+        "semi_join_exists": semi_join_exists,
+        "a4_map_assembly": a4_map_assembly,
         "c_dates_pipeline": c_dates_pipeline,
         "c14_md5_dedup": c14_md5_dedup,
         "c20_jsonp_unwrap": c20_jsonp_unwrap,
@@ -671,6 +721,33 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_extract(c_name, 'Customer#(\\d+)', 1)) AS cust_num,
                    trim(regexp_extract(c_name, '(XYZ\\d+)', 1)) AS miss_is_empty
             FROM customer
+        """,
+        "c2_c3_clean": """
+            SELECT doc_id,
+                   length(regexp_replace(text, '[\\p{P}\\p{Z}\\p{S}]', '', 'g')) AS len_clean,
+                   length(regexp_replace(text, '[\\n\\r]', '', 'g')) AS len_nolb
+            FROM documents
+        """,
+        "c13_c15_encodings": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN '0' ELSE '1' END AS sex_code,
+                   printf('classification%02d', c_nationkey + 1) AS cls_name
+            FROM customer
+        """,
+        "semi_join_exists": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        """,
+        "a4_map_assembly": """
+            WITH per AS (
+                SELECT o_custkey, o_orderstatus, count(*) AS cnt
+                FROM orders GROUP BY o_custkey, o_orderstatus
+            )
+            SELECT o_custkey,
+                   '{' || string_agg('"' || o_orderstatus || '":' || cnt,
+                                     ',' ORDER BY o_orderstatus) || '}' AS status_counts
+            FROM per GROUP BY o_custkey
         """,
         "c_dates_pipeline": """
             SELECT o_orderkey,

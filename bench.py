@@ -48,6 +48,10 @@ def run_suite(spark, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
+    # warm-up: JVM/codegen/parquet-footer costs don't belong to q1's number
+    for t in ("lineitem", "orders", "documents", "embeddings", "events", "part"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

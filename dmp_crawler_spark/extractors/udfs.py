@@ -96,6 +96,55 @@ def discover_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(_links_batches, LINKS_SCHEMA)
 
 
+COMBINED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),  # 'result' | 'link'
+    T.StructField("rowkey", T.StringType(), True),
+    T.StructField("family", T.StringType(), True),
+    T.StructField("cols", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("out_url", T.StringType(), True),
+    T.StructField("anchor", T.StringType(), True),
+])
+
+
+def _combined_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("url", "kind", "rowkey", "family", "cols",
+                                  "out_url", "anchor")}
+        html = pdf["html"].map(_decode)
+        # links: vectorized extractall over the whole batch
+        hits = html.str.extractall(_HREF_RE)
+        if not hits.empty:
+            src = pdf["url"].iloc[hits.index.get_level_values(0)].values
+            for s, o, a in zip(src, hits[0].values, hits[1].values):
+                rows["url"].append(s)
+                rows["kind"].append("link")
+                rows["rowkey"].append(None)
+                rows["family"].append(None)
+                rows["cols"].append(None)
+                rows["out_url"].append(o)
+                rows["anchor"].append(a)
+        # results: one oracle parse per page (the single parse pass)
+        for url, h in zip(pdf["url"].values, html.values):
+            for row in oracle.extract(url, h):
+                rows["url"].append(url)
+                rows["kind"].append("result")
+                rows["rowkey"].append(row["rowkey"])
+                rows["family"].append(row["family"])
+                rows["cols"].append(row["cols"])
+                rows["out_url"].append(None)
+                rows["anchor"].append(None)
+        yield pd.DataFrame(rows, columns=list(rows))
+
+
+def extract_and_links(pages: DataFrame) -> DataFrame:
+    """One Python pass producing BOTH extraction rows and link rows
+    (kind='result'|'link'). The crawl loop caches this, so html crosses
+    the Arrow boundary once per iteration instead of twice."""
+    return pages.select("url", "html").mapInPandas(_combined_batches, COMBINED_SCHEMA)
+
+
 def classify_pages(pages: DataFrame) -> DataFrame:
     """F2 URL-class dispatch, JVM-side (regex gate before the Python stage),
     mirroring shouldVisit (…/crawler/auto/Crawler4Autohome.java:97-141)."""

@@ -130,6 +130,81 @@ def build_shards(seen: DataFrame, out_dir: str, n_shards: int,
     return mpath
 
 
+def merge_shards(new_seen: DataFrame, prev_manifest_path: str | None,
+                 out_dir: str, n_shards: int, fpp: float = 1e-4,
+                 expected_per_shard: int = 1 << 20) -> str:
+    """Incremental bloom update: build bits for THIS batch's hashes and OR
+    them into the previous shard files (same m,k — fixed by
+    expected_per_shard so merges stay compatible across iterations).
+    O(new rows) per iteration instead of O(all seen). Returns new manifest.
+
+    Shards never shrink; when n_items approaches expected_per_shard the
+    caller should trigger a full rebuild with a larger expected size (the
+    FP rate degrades gracefully, never correctness — positives just fall
+    through to the exact anti-join)."""
+    if n_shards & (n_shards - 1):
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+    prev: dict = {"shards": {}}
+    if prev_manifest_path and os.path.exists(prev_manifest_path):
+        with open(prev_manifest_path) as f:
+            prev = json.load(f)
+    m, k = _params(expected_per_shard, fpp)
+    prev_shards = prev.get("shards", {})
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        hashes = pdf["url_hash"].values.astype(np.int64).view(np.uint64)
+        meta = prev_shards.get(str(shard))
+        n_prev = 0
+        if meta is not None:
+            if meta["m_bits"] != m or meta["k_hashes"] != k or meta["path"] == "DEGRADED":
+                # incompatible previous state: dropping its bits would create
+                # FALSE NEGATIVES (seen URLs re-crawled). Mark degraded: the
+                # prefilter sends the whole shard to the exact anti-join.
+                return pd.DataFrame({
+                    "shard": [shard], "path": ["DEGRADED"],
+                    "n_items": [meta["n_items"] + len(hashes)],
+                    "m_bits": [m], "k_hashes": [k],
+                })
+            bits = np.load(meta["path"], allow_pickle=False).copy()
+            n_prev = meta["n_items"]
+        else:
+            bits = np.zeros(m >> 6, dtype=np.uint64)
+        _set_bits(bits, _positions(hashes, m, k))
+        path = os.path.join(out_dir, f"shard_{shard:05d}.npy")
+        np.save(path, bits, allow_pickle=False)
+        return pd.DataFrame({
+            "shard": [shard], "path": [path],
+            "n_items": [n_prev + len(hashes)], "m_bits": [m], "k_hashes": [k],
+        })
+
+    rows = (
+        new_seen.withColumn("shard", F.pmod("host_hash", F.lit(n_shards)).cast("int"))
+        .select("shard", "url_hash")
+        .groupBy("shard")
+        .applyInPandas(build, MANIFEST_SCHEMA)
+        .collect()
+    )
+    shards = dict(prev_shards)  # untouched shards keep their old files
+    for r in rows:
+        shards[str(r["shard"])] = {
+            "path": r["path"], "n_items": r["n_items"],
+            "m_bits": r["m_bits"], "k_hashes": r["k_hashes"],
+        }
+    manifest = {"n_shards": n_shards, "fpp": fpp, "shards": shards}
+    mpath = os.path.join(out_dir, "manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    # bust the per-process cache for rewritten files (same-path reuse across
+    # iterations isn't possible — paths are versioned — but be safe)
+    for r in rows:
+        _SHARD_CACHE.pop(r["path"], None)
+    return mpath
+
+
 def _load_shard(path: str, m: int, k: int) -> tuple[np.ndarray, int, int]:
     cached = _SHARD_CACHE.get(path)
     if cached is None:
@@ -170,6 +245,8 @@ def prefilter(candidates: DataFrame, manifest_path: str | None) -> DataFrame:
                 if meta is None:
                     maybe[mask] = False  # empty shard: nothing ever seen there
                     continue
+                if meta["path"] == "DEGRADED":
+                    continue  # maybe stays True: exact join decides
                 bits, m, k = _load_shard(meta["path"], meta["m_bits"], meta["k_hashes"])
                 maybe[mask] = _test_bits(np.asarray(bits), _positions(uh[mask], m, k))
             out = pdf.copy()

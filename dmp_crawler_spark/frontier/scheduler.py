@@ -35,7 +35,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dmp_crawler_spark.extractors.udfs import discover_links, extract_pages
+from dmp_crawler_spark.extractors.udfs import extract_and_links
 from dmp_crawler_spark.frontier import bloom, politeness, robots as robots_mod
 from dmp_crawler_spark.frontier.urlnorm import (
     normalize_url,
@@ -81,6 +81,7 @@ class CrawlEngine:
         max_retries: int = 3,
         n_bloom_shards: int = 16,
         use_bloom: bool = True,
+        bloom_expected_per_shard: int = 1 << 16,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -93,6 +94,7 @@ class CrawlEngine:
         self.max_retries = max_retries
         self.n_bloom_shards = n_bloom_shards
         self.use_bloom = use_bloom
+        self.bloom_expected_per_shard = bloom_expected_per_shard
         os.makedirs(os.path.join(state_dir, "checkpoints"), exist_ok=True)
 
     # ---------------- state paths -------------------------------------
@@ -153,7 +155,13 @@ class CrawlEngine:
         fr.write.mode("overwrite").parquet(self._p("frontier", "v000000"))
         fr_w = self.frontier_df(0)
         self._write_seen(fr_w, 0)
-        manifest = self._build_bloom(0)
+        manifest = None
+        if self.use_bloom:
+            manifest = bloom.merge_shards(
+                self.spark.read.parquet(self._p("seen", "iter=000000")),
+                None, self._p("bloom", "v000000"), self.n_bloom_shards,
+                expected_per_shard=self.bloom_expected_per_shard,
+            )
         self._commit({
             "iter": 0,
             "frontier": self._p("frontier", "v000000"),
@@ -173,16 +181,6 @@ class CrawlEngine:
             )
             .write.mode("overwrite")
             .parquet(self._p("seen", f"iter={k:06d}"))
-        )
-
-    def _build_bloom(self, k: int) -> str | None:
-        if not self.use_bloom:
-            return None
-        seen = self.seen_df(k)
-        if seen is None:
-            return None
-        return bloom.build_shards(
-            seen, self._p("bloom", f"v{k:06d}"), self.n_bloom_shards
         )
 
     # ---------------- one iteration ------------------------------------
@@ -216,9 +214,13 @@ class CrawlEngine:
 
         fetched, missed = self.fetcher.fetch(admitted)
         fetched = fetched.cache()
+        missed = missed.cache()
 
-        # results + crawled page log
-        results = extract_pages(fetched)
+        # ONE Python pass over html: extraction rows + link rows together
+        combined = extract_and_links(fetched).cache()
+        results = combined.filter(F.col("kind") == "result").select(
+            "url", "rowkey", "family", "cols"
+        )
         results.write.mode("overwrite").parquet(self._p("results", f"iter={k:06d}"))
         (
             fetched.select(
@@ -240,9 +242,9 @@ class CrawlEngine:
         ).write.mode("overwrite").parquet(self._p("failed", f"iter={k:06d}"))
 
         # link discovery → normalize → should_visit gate → score (F1/F2)
-        links = discover_links(fetched).select(
-            "src_url",
-            normalize_url(resolve_link("src_url", "out_url")).alias("url"),
+        links = combined.filter(F.col("kind") == "link").select(
+            F.col("url").alias("src_url"),
+            normalize_url(resolve_link("url", "out_url")).alias("url"),
         )
         parent_depth = fetched.select(
             F.col("url").alias("src_url"), F.col("depth").alias("parent_depth")
@@ -280,19 +282,57 @@ class CrawlEngine:
         fdir = self._p("frontier", f"v{k:06d}")
         new_frontier.write.mode("overwrite").parquet(fdir)
 
-        new_w = self.spark.read.parquet(fdir).filter(F.col("discovery_iter") == k)
-        self._write_seen(
-            new_w.filter(F.col("retry_count") == 0).select("url", "host_hash"), k
+        new_frontier_w = self.spark.read.parquet(fdir)
+        new_w = new_frontier_w.filter(
+            (F.col("discovery_iter") == k) & (F.col("retry_count") == 0)
         )
-        manifest = self._build_bloom(k)
+        self._write_seen(new_w.select("url", "host_hash"), k)
 
-        n_failed = failed.count()
-        frontier_size = self.spark.read.parquet(fdir).count()
+        # incremental bloom: O(new rows), OR-merged into the prior shards
+        manifest = ck.get("bloom_manifest")
+        if self.use_bloom:
+            manifest = bloom.merge_shards(
+                self.spark.read.parquet(self._p("seen", f"iter={k:06d}")),
+                ck.get("bloom_manifest"),
+                self._p("bloom", f"v{k:06d}"),
+                self.n_bloom_shards,
+                expected_per_shard=self.bloom_expected_per_shard,
+            )
+
+        # per-partition lineage metrics (north rule): admitted/new/frontier
+        # counts per host-hash shard — one job, read back tiny for totals
+        shard = F.pmod("host_hash", F.lit(self.n_bloom_shards)).alias("shard")
+        (
+            admitted.select(shard)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_admitted"))
+            .join(
+                new_frontier_w.select(
+                    shard,
+                    (F.col("discovery_iter") == k).cast("int").alias("is_new"),
+                )
+                .groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).alias("n_frontier"),
+                    F.sum("is_new").alias("n_new"),
+                ),
+                "shard",
+                "full_outer",
+            )
+            .withColumn("iter", F.lit(k))
+            .write.mode("overwrite")
+            .parquet(self._p("metrics", f"iter={k:06d}"))
+        )
+        mrows = self.spark.read.parquet(self._p("metrics", f"iter={k:06d}")).collect()
+        frontier_size = sum(r["n_frontier"] or 0 for r in mrows)
+        n_new = sum(r["n_new"] or 0 for r in mrows)
+        n_missed = missed.count()
+
         metrics = {
             "admitted": n_admitted,
-            "fetched": fetched.count(),
-            "failed": n_failed,
-            "new_urls": new_w.filter(F.col("retry_count") == 0).count(),
+            "fetched": n_admitted - n_missed,
+            "failed": n_missed,
+            "new_urls": n_new,
             "frontier_size": frontier_size,
             "elapsed_sec": round(time.monotonic() - t0, 3),
             "done": frontier_size == 0,
@@ -307,6 +347,8 @@ class CrawlEngine:
         })
         admitted.unpersist()
         fetched.unpersist()
+        missed.unpersist()
+        combined.unpersist()
         return metrics
 
     def run(self, max_iters: int = 100) -> list[dict]:
@@ -324,3 +366,47 @@ class CrawlEngine:
 
     def results_df(self) -> DataFrame:
         return self.spark.read.parquet(self._p("results"))
+
+    # ---------------- J2 freshness re-admit ----------------------------
+    def readmit_expired(self, ttl_iters: int) -> int:
+        """Re-crawl freshness (J2): URLs whose last crawl is ≥ ttl_iters
+        iterations old re-enter the frontier (the reference's 3-month
+        isRowExpired check, …/crawler/social/application/SingleThread.java:286-319,
+        with the deterministic iteration counter as the clock).
+
+        Plan: latest crawl per url (window on the crawled log), filter by
+        age, anti-join against the current frontier, append. Returns the
+        number of re-admitted URLs and commits a new checkpoint."""
+        ck = self.last_checkpoint()
+        if ck is None:
+            raise RuntimeError("init_from_seeds first")
+        k = ck["iter"]
+        from pyspark.sql import Window
+
+        crawled = self.crawled_df()
+        w = Window.partitionBy("url").orderBy(F.col("crawl_iter").desc())
+        latest = (
+            crawled.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        expired = latest.filter(F.col("crawl_iter") <= k - ttl_iters)
+        frontier = self.spark.read.parquet(ck["frontier"])
+        readmit = (
+            expired.join(frontier.select("url"), "url", "left_anti")
+            .select(
+                "url", "host", "host_hash", "depth",
+                F.lit(k).alias("discovery_iter"), "score",
+                F.lit(0).alias("retry_count"),
+            )
+        )
+        n = readmit.count()
+        if n == 0:
+            return 0
+        fdir = self._p("frontier", f"v{k:06d}_readmit")
+        frontier.select(*FRONTIER_COLS).unionByName(readmit).write.mode(
+            "overwrite"
+        ).parquet(fdir)
+        self._commit({**ck, "frontier": fdir,
+                      "metrics": {**ck.get("metrics", {}), "readmitted": n}})
+        return n

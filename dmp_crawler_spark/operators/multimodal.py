@@ -96,7 +96,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
             for mid, payload, dur in zip(
                 pdf["media_id"].values, pdf["payload"].values, pdf["duration_ms"].values
             ):
-                n = max(1, int(dur or 0) // every_ms)
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)  # null → NaN in pandas
+                n = max(1, dur // every_ms)
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)

@@ -1,0 +1,81 @@
+"""spark-submit entry point for the crawl engine.
+
+Usage:
+  scripts/package.sh                        # builds dist/dmp_crawler_spark.zip
+  spark-submit --py-files dist/dmp_crawler_spark.zip jobs/crawl_main.py \
+      --corpus /path/pages --state /path/state --iters 5 \
+      [--n-urls 20000] [--seeds 64] [--per-host-budget 50] [--robots]
+
+If --corpus doesn't exist and --n-urls is given, the synthetic corpus is
+generated first (distributed). Prints one JSON metrics line per iteration
+and a final summary line (urls/sec) — the cluster-mode analog of bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--n-urls", type=int, default=20000)
+    ap.add_argument("--seeds", type=int, default=64)
+    ap.add_argument("--per-host-budget", type=int, default=50)
+    ap.add_argument("--global-budget", type=int, default=None)
+    ap.add_argument("--bloom-shards", type=int, default=64)
+    ap.add_argument("--robots", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from dmp_crawler_spark.corpus import generator, templates
+    from dmp_crawler_spark.frontier.scheduler import CorpusFetcher, CrawlEngine
+    from dmp_crawler_spark.session import get_spark
+
+    if args.master:
+        spark = get_spark(master=args.master, app_name="crawl_main")
+    else:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.appName("crawl_main").getOrCreate()
+
+    if not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
+        generator.write_pages(spark, args.n_urls, args.corpus)
+
+    seeds = spark.createDataFrame(
+        [(templates.url_for(i * 131 % args.n_urls, args.n_urls), "")
+         for i in range(args.seeds)],
+        "seed string, site string",
+    )
+    eng = CrawlEngine(
+        spark, args.state, CorpusFetcher(spark, args.corpus),
+        generator.generate_site_rules(spark),
+        robots=generator.generate_robots(spark, args.n_urls) if args.robots else None,
+        respect_robots=args.robots,
+        per_host_budget=args.per_host_budget,
+        global_budget=args.global_budget,
+        n_bloom_shards=args.bloom_shards,
+    )
+    t0 = time.monotonic()
+    if eng.last_checkpoint() is None:
+        eng.init_from_seeds(seeds)
+    metrics = eng.run(max_iters=args.iters)
+    elapsed = time.monotonic() - t0
+    for m in metrics:
+        print(json.dumps({"iteration_metrics": m}))
+    crawled = sum(m.get("admitted", 0) for m in metrics)
+    print(json.dumps({
+        "metric": "crawl_urls_per_sec",
+        "value": round(crawled / elapsed, 2),
+        "urls": crawled,
+        "elapsed_sec": round(elapsed, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
