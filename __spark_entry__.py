@@ -499,6 +499,177 @@ def event_gaps(spark, d):
 
 
 # ---------------------------------------------------------------------------
+# round-1 widening: dispatch/taxonomy/guard filters, scalar helpers, static
+# sources, sessionization, fingerprint dedup
+
+
+def f2_page_class(spark, d):
+    """F2 URL-class predicate dispatch (the shouldVisit/visit regex gate,
+    …/crawler/auto/Crawler4Autohome.java:97-141): multi-regex CASE chain
+    assigning a page_class per URL."""
+    part = _t(spark, d, "part")
+    k = F.col("p_partkey")
+    url = F.concat(
+        F.lit("http://www.example.com/"),
+        F.when(F.pmod(k, F.lit(4)) == 0,
+               F.concat(F.lit("auto/series-"), k.cast("string"), F.lit(".html")))
+        .when(F.pmod(k, F.lit(4)) == 1,
+              F.concat(F.lit("bbs/thread-"), k.cast("string"), F.lit(".html")))
+        .when(F.pmod(k, F.lit(4)) == 2, F.concat(F.lit("user/"), k.cast("string")))
+        .otherwise(F.concat(F.lit("img/"), k.cast("string"), F.lit(".jpg"))),
+    )
+    cls = (
+        F.when(url.rlike(r"/auto/series-\d+\.html$"), F.lit("auto_detail"))
+        .when(url.rlike(r"/bbs/thread-\d+\.html$"), F.lit("bbs_post"))
+        .when(url.rlike(r"/user/\d+$"), F.lit("user_profile"))
+        .otherwise(F.lit("skip"))
+    )
+    return part.select(k.alias("p_partkey"), url.alias("url"), cls.alias("page_class"))
+
+
+def f3_regex_taxonomy(spark, d):
+    """F3 regex-taxonomy classifier (…/crawler/textclassify/Crawler4Sina.java:
+    33-80, rules sinaConfig.json): ordered rule table, first (lowest-priority)
+    matching regex wins, fallback code '0000'. Broadcast rule join + min-struct
+    instead of a CASE chain so the rule table stays data, not code."""
+    part = _t(spark, d, "part")
+    rules = spark.createDataFrame(
+        [(1, "widget|gizmo", "0101"), (2, "bolt|nut|gear", "0102"),
+         (3, "red|blue", "0201")],
+        "priority int, rx string, code string",
+    )
+    m = (
+        part.join(F.broadcast(rules), F.expr("p_name rlike rx"))
+        .groupBy("p_partkey")
+        .agg(F.min(F.struct("priority", "code")).alias("m"))
+        .select("p_partkey", F.col("m.code").alias("mcode"))
+    )
+    return part.join(m, "p_partkey", "left").select(
+        "p_partkey", F.coalesce("mcode", F.lit("0000")).alias("class_code")
+    )
+
+
+def f6_shape_guard_split(spark, d):
+    """F6 null/shape guards + requeue (…/crawler/ms/Crawler4Dxy.java:101-104):
+    invalid rows are not dropped — they are routed to a requeue branch; the
+    split is observable as per-route counts."""
+    c = _t(spark, d, "customer")
+    route = F.when(F.col("c_acctbal") >= 0, F.lit("results")).otherwise(F.lit("requeue"))
+    return (
+        c.withColumn("route", route)
+        .groupBy("c_mktsegment", "route")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+def c4_c5_ts_roundtrip(spark, d):
+    """C4/C5/C10 epoch↔date string helpers incl. ''-on-bad-input semantics
+    (…/common/StringUtils.java:44-52,63-71; Crawler4PCAuto.java:635-648)."""
+    o = _t(spark, d, "orders")
+    epoch_str = F.unix_timestamp("o_orderdate").cast("string")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        S.timestamp_to_date(epoch_str).alias("ts2date"),
+        S.timestamp_to_date(F.lit("null")).alias("ts2date_bad"),
+        S.date_to_timestamp(date_str).alias("date2ts"),
+        S.date_to_timestamp(F.lit("not-a-date")).alias("date2ts_bad"),
+        S.date_to_millis(date_str).alias("millis"),
+        S.date_to_millis(F.lit("xx")).alias("millis_bad"),
+    )
+
+
+def c_misc_scalars(spark, d):
+    """C11 after-colon, C12 万-price extraction, C17 url-decode, C18 template
+    fill, C22 fixed-width key split — one projection exercising each."""
+    c = _t(spark, d, "customer")
+    key = F.col("c_custkey")
+    label = F.concat(F.lit("价格: "), F.pmod(key, F.lit(100)).cast("string"), F.lit(".5万"))
+    encoded = F.concat(F.lit("biz%3D"), key.cast("string"), F.lit("%26x%3D1"))
+    bsid = F.substring(F.md5("c_name"), 1, 12)
+    return c.select(
+        "c_custkey",
+        S.after_colon(F.concat(F.lit("名称: "), F.col("c_name"))).alias("after_colon"),
+        S.extract_wan_price(label).alias("wan_price"),
+        S.url_decode(encoded).alias("decoded"),
+        F.format_string(
+            "http://api.example.com/u/%d/p/%d", key, F.col("c_nationkey")
+        ).alias("filled_url"),
+        S.bsid_sid(bsid).alias("sid"),
+        S.bsid_nid(bsid).alias("nid"),
+        S.bsid_bid(bsid).alias("bid"),
+    )
+
+
+def c19_script_json(spark, d):
+    """C19 JSON-in-<script> extraction (var config = {...};
+    …/crawler/auto/Crawler4Autohome.java:150-163): regex pull + JSON field."""
+    ev = _t(spark, d, "events")
+    html = F.concat(
+        F.lit("<html><script>var config = "), F.col("props"),
+        F.lit(";</script><body>x</body></html>"),
+    )
+    inner = F.regexp_extract(html, r"var config = (\{.*?\});", 1)
+    return ev.select("event_id", F.get_json_object(inner, "$.k").alias("cfg_k"))
+
+
+_INS_ROWS = [(i, f"ins{i:02d}", ("life", "health", "car")[i % 3]) for i in range(11)]
+
+
+def s7_static_table(spark, d):
+    """S7 static in-code table (…/crawler/insurance/Crawler4Pingan.java:29-43):
+    an 11-row literal DataFrame broadcast-joined against a fact table."""
+    c = _t(spark, d, "customer")
+    ins = spark.createDataFrame(_INS_ROWS, "idx int, ins_name string, ins_type string")
+    return (
+        c.withColumn("idx", F.pmod("c_nationkey", F.lit(11)).cast("int"))
+        .join(F.broadcast(ins), "idx")
+        .groupBy("ins_type")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.countDistinct("idx").alias("n_products"))
+    )
+
+
+def event_sessionize(spark, d):
+    """Session windows in batch form (30-min inactivity gap): the stateful
+    sessionization a training-data pipeline needs; cumulative-sum session ids,
+    then per-user session stats."""
+    ev = _t(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("sess_id", F.sum("new_s").over(cum))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur").alias("max_session_sec"),
+    )
+
+
+def fingerprint_dedup(spark, d):
+    """Document fingerprinting (rolling 64-bit content hash over normalized
+    text) as the exact-dedup key; oracle groups by the normalization itself —
+    value-identical unless xxhash64 collides."""
+    docs = _t(spark, d, "documents")
+    return (
+        docs.select("doc_id", TS.doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) operators
 
 
@@ -524,6 +695,15 @@ def ivf_topk_q(spark, d):
     )
     indexed, centroids = sim.build_ivf_index(emb, n_cells=8)
     return sim.ivf_topk(indexed, centroids, q, k=5, n_probe=3)
+
+
+def ngram_jaccard_q(spark, d):
+    """n-gram Jaccard near-dup: LSH candidates then exact shingle-set Jaccard.
+    Rows-only (minhash banding is not SQL-expressible)."""
+    from dmp_crawler_spark.operators import dedup as dd
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return dd.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.5,
+                                  num_hashes=16, bands=8)
 
 
 def multimodal_features_q(spark, d):
@@ -596,7 +776,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": embedding_near_pairs,
         "event_hourly": event_hourly,
         "event_gaps": event_gaps,
+        "f2_page_class": f2_page_class,
+        "f3_regex_taxonomy": f3_regex_taxonomy,
+        "f6_shape_guard_split": f6_shape_guard_split,
+        "c4_c5_ts_roundtrip": c4_c5_ts_roundtrip,
+        "c_misc_scalars": c_misc_scalars,
+        "c19_script_json": c19_script_json,
+        "s7_static_table": s7_static_table,
+        "event_sessionize": event_sessionize,
+        "fingerprint_dedup": fingerprint_dedup,
         # rows-only
+        "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "ivf_topk": ivf_topk_q,
@@ -850,6 +1040,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "f2_page_class": """
+            WITH u AS (
+                SELECT p_partkey,
+                       'http://www.example.com/' ||
+                       (CASE
+                          WHEN p_partkey % 4 = 0 THEN 'auto/series-' || CAST(p_partkey AS VARCHAR) || '.html'
+                          WHEN p_partkey % 4 = 1 THEN 'bbs/thread-' || CAST(p_partkey AS VARCHAR) || '.html'
+                          WHEN p_partkey % 4 = 2 THEN 'user/' || CAST(p_partkey AS VARCHAR)
+                          ELSE 'img/' || CAST(p_partkey AS VARCHAR) || '.jpg'
+                        END) AS url
+                FROM part
+            )
+            SELECT p_partkey, url,
+                   CASE
+                     WHEN regexp_matches(url, '/auto/series-\\d+\\.html$') THEN 'auto_detail'
+                     WHEN regexp_matches(url, '/bbs/thread-\\d+\\.html$') THEN 'bbs_post'
+                     WHEN regexp_matches(url, '/user/\\d+$') THEN 'user_profile'
+                     ELSE 'skip'
+                   END AS page_class
+            FROM u
+        """,
+        "f3_regex_taxonomy": """
+            WITH rules(priority, rx, code) AS (
+                VALUES (1, 'widget|gizmo', '0101'),
+                       (2, 'bolt|nut|gear', '0102'),
+                       (3, 'red|blue', '0201')
+            ), m AS (
+                SELECT p_partkey, min(priority) AS pr
+                FROM part JOIN rules ON regexp_matches(p_name, rx)
+                GROUP BY p_partkey
+            )
+            SELECT p.p_partkey, coalesce(r.code, '0000') AS class_code
+            FROM part p
+            LEFT JOIN m ON p.p_partkey = m.p_partkey
+            LEFT JOIN rules r ON m.pr = r.priority
+        """,
+        "f6_shape_guard_split": """
+            SELECT c_mktsegment,
+                   CASE WHEN c_acctbal >= 0 THEN 'results' ELSE 'requeue' END AS route,
+                   count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer GROUP BY 1, 2
+        """,
+        "c4_c5_ts_roundtrip": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts2date,
+                   '' AS ts2date_bad,
+                   CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR) AS date2ts,
+                   '' AS date2ts_bad,
+                   CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000 AS VARCHAR) AS millis,
+                   '0' AS millis_bad
+            FROM orders
+        """,
+        "c_misc_scalars": """
+            SELECT c_custkey,
+                   trim(regexp_extract('名称: ' || c_name, '([^:]*)$', 1)) AS after_colon,
+                   regexp_extract('价格: ' || CAST(c_custkey % 100 AS VARCHAR) || '.5万',
+                                  '([.0-9]+)万', 1) AS wan_price,
+                   'biz=' || CAST(c_custkey AS VARCHAR) || '&x=1' AS decoded,
+                   printf('http://api.example.com/u/%d/p/%d', c_custkey, c_nationkey)
+                       AS filled_url,
+                   substr(md5(c_name), 1, 4) AS sid,
+                   substr(md5(c_name), 5, 4) AS nid,
+                   substr(md5(c_name), 9, 4) AS bid
+            FROM customer
+        """,
+        "c19_script_json": """
+            SELECT event_id,
+                   json_extract_string(
+                       regexp_extract('<html><script>var config = ' || props
+                                      || ';</script><body>x</body></html>',
+                                      'var config = (\\{.*?\\});', 1),
+                       '$.k') AS cfg_k
+            FROM events
+        """,
+        "s7_static_table": f"""
+            WITH ins(idx, ins_name, ins_type) AS (
+                VALUES {', '.join(f"({i}, '{n}', '{t}')" for i, n, t in _INS_ROWS)}
+            )
+            SELECT ins_type, count(*) AS n_cust, count(DISTINCT idx) AS n_products
+            FROM customer JOIN ins ON (c_nationkey % 11) = idx
+            GROUP BY ins_type
+        """,
+        "event_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g
+            ), per AS (
+                SELECT user_id, sess_id, count(*) AS n_events,
+                       CAST(floor(epoch(max(ts))) AS BIGINT)
+                       - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur
+                FROM s GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events,
+                   max(dur) AS max_session_sec
+            FROM per GROUP BY user_id
+        """,
+        "fingerprint_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '[\\s\\p{P}]+', ' ', 'g'))
         """,
         "event_gaps": """
             WITH g AS (

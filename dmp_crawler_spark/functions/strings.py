@@ -52,9 +52,10 @@ def remove_line_break(col: Column | str) -> Column:
 def timestamp_to_date(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     bad = c.isNull() | (c == "null") | (c == "")
-    return F.when(bad, F.lit("")).otherwise(
-        F.date_format(F.to_timestamp(F.from_unixtime(c.cast("long"))), fmt)
-    )
+    # try_cast: ANSI-safe — a non-numeric string must yield '' (the reference
+    # returns '' on bad input), never a CAST_INVALID_INPUT error.
+    formatted = F.date_format(F.to_timestamp(F.from_unixtime(c.try_cast("long"))), fmt)
+    return F.when(bad, F.lit("")).otherwise(F.coalesce(formatted, F.lit("")))
 
 
 # C5 — StringUtils.date2TimeStamp (StringUtils.java:63-71): date string →
