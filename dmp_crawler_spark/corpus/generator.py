@@ -55,6 +55,147 @@ def write_pages(spark: SparkSession, n_urls: int, path: str, partitions: int | N
     generate_pages(spark, n_urls, partitions).write.mode("overwrite").parquet(path)
 
 
+class GeneratorFetcher:
+    """Simulated HTTP fetch that regenerates the deterministic corpus page
+    from the URL itself, executor-side (mapInPandas over the admitted set).
+
+    Production fetch is per-URL work with no data-plane input (an HTTP GET
+    per row); joining a materialized corpus table instead — as
+    CorpusFetcher does — adds a full corpus scan + shuffle per iteration
+    that no real crawler pays. This fetcher models the real cost shape:
+    O(admitted) CPU, embarrassingly parallel, zero scan. Used by bench.py
+    for the N-vs-4N scaling evidence; CorpusFetcher remains the fixture
+    for fetch-miss/retry tests."""
+
+    def __init__(self, spark: SparkSession, n_urls: int):
+        self.spark = spark
+        self.n_urls = n_urls
+
+    def fetch(self, admitted: DataFrame) -> tuple[DataFrame, DataFrame]:
+        from pyspark.sql import types as T
+
+        n = self.n_urls
+        out_schema = T.StructType(
+            admitted.schema.fields
+            + [
+                T.StructField("warc_ts", T.TimestampType(), False),
+                T.StructField("html", T.BinaryType(), False),
+                T.StructField("text", T.StringType(), False),
+                T.StructField("lang", T.StringType(), False),
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                idxs = (
+                    pdf["url"].str.rsplit("/", n=1).str[-1]
+                    .str.replace(".html", "", regex=False).astype(int)
+                )
+                pages = [templates.build_page(int(i), n) for i in idxs]
+                out = pdf.copy()
+                out["warc_ts"] = [p["warc_ts"].replace(tzinfo=None) for p in pages]
+                out["html"] = [p["html"] for p in pages]
+                out["text"] = [p["text"] for p in pages]
+                out["lang"] = [p["lang"] for p in pages]
+                yield out
+
+        # The admitted set is tiny in bytes (urls + meta), so AQE coalesces
+        # it to 1-2 partitions — which would serialize the expensive Python
+        # fetch stage. Repartition to full width first: a few-MB shuffle
+        # buys a cluster-wide fetch stage (same reasoning as production,
+        # where the fetch stage is sized by URL count, not byte size).
+        width = self.spark.sparkContext.defaultParallelism
+        fetched = admitted.repartition(width, "url").mapInPandas(gen, out_schema)
+        missed = self.spark.createDataFrame([], admitted.schema)
+        return fetched, missed
+
+
+    def fetch_extract(self, admitted: DataFrame) -> DataFrame:
+        """Fused fetch+extract: one Python pass per admitted URL producing
+        kind='page' (frontier meta + lang), kind='result' (extracted
+        fields) and kind='link' (discovered edges) rows. The html is
+        consumed inside the worker and never crosses the Arrow boundary —
+        at 30-100KB/page that halves stage I/O and removes the biggest
+        executor-memory consumer (the cached html column) from the loop.
+        This is the production shape of crawler4j's visit(): download and
+        parse in the same worker (…/main/CrawlerManager.java:102-108)."""
+        import re as _re
+
+        from pyspark.sql import types as T
+
+        from dmp_crawler_spark.extractors import oracle
+        from dmp_crawler_spark.extractors.udfs import _HREF_RE
+
+        n = self.n_urls
+        # same flags as the pandas str.extractall path (no DOTALL) so both
+        # fetchers discover identical link sets
+        href_re = _re.compile(_HREF_RE)
+        meta_fields = [f.name for f in admitted.schema.fields]
+        out_schema = T.StructType(
+            admitted.schema.fields
+            + [
+                T.StructField("kind", T.StringType(), False),
+                T.StructField("rowkey", T.StringType(), True),
+                T.StructField("family", T.StringType(), True),
+                T.StructField("cols", T.MapType(T.StringType(), T.StringType()), True),
+                T.StructField("out_url", T.StringType(), True),
+                T.StructField("anchor", T.StringType(), True),
+                T.StructField("lang", T.StringType(), True),
+            ]
+        )
+        extra = ["kind", "rowkey", "family", "cols", "out_url", "anchor", "lang"]
+
+        def gen(batches):
+            import pandas as pd
+
+            none_meta = {c: None for c in meta_fields}
+
+            for pdf in batches:
+                rows: dict[str, list] = {c: [] for c in meta_fields + extra}
+
+                def emit(meta, kind, rowkey=None, family=None, cols=None,
+                         out_url=None, anchor=None, lang=None):
+                    for c in meta_fields:
+                        rows[c].append(meta[c])
+                    rows["kind"].append(kind)
+                    rows["rowkey"].append(rowkey)
+                    rows["family"].append(family)
+                    rows["cols"].append(cols)
+                    rows["out_url"].append(out_url)
+                    rows["anchor"].append(anchor)
+                    rows["lang"].append(lang)
+
+                # link rows dominate the output volume (~40×/page): carry
+                # only (url=src, out_url, depth) and pre-combine duplicate
+                # (src-host, out_url) edges map-side — the Python analog of
+                # a partial aggregate before the shuffle.
+                link_min_depth: dict[tuple, tuple] = {}
+
+                for meta in pdf.to_dict("records"):
+                    idx = int(meta["url"].rsplit("/", 1)[-1].replace(".html", ""))
+                    _url, html, lang = templates.build_page_html(idx, n)
+                    emit(meta, "page", lang=lang)
+                    d = meta["depth"]
+                    host = meta["host"]
+                    src = meta["url"]
+                    for m in href_re.finditer(html):
+                        key = (host, m.group(1))
+                        prev = link_min_depth.get(key)
+                        if prev is None or d < prev[1]:
+                            link_min_depth[key] = (src, d)
+                    for r in oracle.extract(src, html):
+                        emit(meta, "result", rowkey=r["rowkey"],
+                             family=r["family"], cols=r["cols"])
+
+                for (host, out_url), (src, d) in link_min_depth.items():
+                    emit({**none_meta, "url": src, "depth": d}, "link",
+                         out_url=out_url)
+                yield pd.DataFrame(rows, columns=meta_fields + extra)
+
+        width = self.spark.sparkContext.defaultParallelism
+        return admitted.repartition(width, "url").mapInPandas(gen, out_schema)
+
+
 def generate_seeds(spark: SparkSession, n_urls: int, n_seeds: int = 32) -> DataFrame:
     """Seed list incl. range templates (SeedParser, common/SeedParser.java:5-31)."""
     rows = []

@@ -99,6 +99,44 @@ def _links_html(idx: int, n_urls: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Page-weight boilerplate: Common-Crawl-style pages average tens of KB of
+# nav/footer/content filler, and extraction cost at 100 TB is dominated by
+# parsing that weight. The pool is built once (deterministic, seeded by the
+# word tables);每 page picks paragraphs by _mix so pages are 15-60 KB with a
+# ~35 KB mean. Class names are bp-* only — no extractor selector matches
+# them, so ground-truth fields are unchanged.
+
+_WORDS_ZH = "内容 数据 系统 分析 处理 网络 信息 技术 平台 服务 用户 文章 评论 发布 时间".split()
+_WORDS_EN = "the data web page crawl index search rank host link text node parse".split()
+
+
+def _build_paragraph(i: int) -> str:
+    w = []
+    for j in range(70):
+        h = _mix(i * 131 + j)
+        w.append(_WORDS_ZH[h % len(_WORDS_ZH)] if (h >> 8) % 3 else _WORDS_EN[h % len(_WORDS_EN)])
+    return '<p class="bp-par">' + " ".join(w) + "。</p>"
+
+
+_PARA_POOL = [_build_paragraph(i) for i in range(64)]
+_NAV_BLOCK = (
+    '<div class="bp-nav">'
+    + "".join(f'<a href="/bp-nav/{i}.html">栏目{i}</a> ' for i in range(8))
+    + "</div>"
+)
+_FOOTER_BLOCK = (
+    '<div class="bp-footer"><a href="/bp-about.html">关于</a> '
+    '<a href="/bp-contact.html">联系</a> © 2016 example.com</div>'
+)
+
+
+def _boilerplate(idx: int) -> str:
+    n_par = 30 + _mix(idx ^ 0xB0) % 70
+    paras = "".join(_PARA_POOL[_mix(idx * 977 + p) % len(_PARA_POOL)] for p in range(n_par))
+    return f'{_NAV_BLOCK}<div class="bp-main">{paras}</div>{_FOOTER_BLOCK}'
+
+
+# ---------------------------------------------------------------------------
 # per-archetype builders: each returns (html, fields) where fields is the
 # ground-truth dict the extractor must reproduce byte-for-byte.
 
@@ -394,13 +432,24 @@ _BUILDERS = {
 }
 
 
+def build_page_html(idx: int, n_urls: int) -> tuple[str, str, str]:
+    """(url, html_str, lang) without the text column or utf-8 encode — the
+    fetch-path fast variant. The `text` column belongs to the pages-table
+    materialization (input_hint), not the crawl loop; computing it per fetch
+    would be discarded work (~2× page cost)."""
+    arch = archetype_for(idx)
+    html, _fields = _BUILDERS[arch](idx)
+    html = html.replace("{LINKS}", _links_html(idx, n_urls) + _boilerplate(idx))
+    return url_for(idx, n_urls), html, lang_for(idx)
+
+
 def build_page(idx: int, n_urls: int) -> dict:
     """Full page record: url, warc_ts, html(bytes), text, lang + ground truth."""
     from dmp_crawler_spark.extractors.htmlmini import jsoup_text
 
     arch = archetype_for(idx)
     html, fields = _BUILDERS[arch](idx)
-    html = html.replace("{LINKS}", _links_html(idx, n_urls))
+    html = html.replace("{LINKS}", _links_html(idx, n_urls) + _boilerplate(idx))
     text = jsoup_text(html) if arch != "json_api" else ""
     return {
         "url": url_for(idx, n_urls),

@@ -32,7 +32,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dmp_crawler_spark.extractors.udfs import extract_and_links
@@ -190,6 +190,14 @@ class CrawlEngine:
             raise RuntimeError("init_from_seeds first")
         k = ck["iter"] + 1
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
+        _last = [t0]
+
+        def _mark(name: str) -> None:
+            now = time.monotonic()
+            phases[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         frontier = self.spark.read.parquet(ck["frontier"])
 
         if self.respect_robots and self.robots is not None:
@@ -206,22 +214,46 @@ class CrawlEngine:
             eligible, self.per_host_budget, global_budget=remaining
         ).select(*FRONTIER_COLS).cache()
         n_admitted = admitted.count()
+        _mark("admit")
 
         if n_admitted == 0:
             metrics = {"admitted": 0, "frontier_size": frontier.count(), "done": True}
             self._commit({**ck, "iter": k, "metrics": metrics})
             return metrics
 
-        fetched, missed = self.fetcher.fetch(admitted)
-        fetched = fetched.cache()
-        missed = missed.cache()
-
-        # ONE Python pass over html: extraction rows + link rows together
-        combined = extract_and_links(fetched).cache()
-        results = combined.filter(F.col("kind") == "result").select(
-            "url", "rowkey", "family", "cols"
-        )
-        results.write.mode("overwrite").parquet(self._p("results", f"iter={k:06d}"))
+        fused = hasattr(self.fetcher, "fetch_extract")
+        if fused:
+            # ONE Python pass: fetch + extract + link discovery together;
+            # html never crosses the Arrow boundary (see GeneratorFetcher).
+            # The pass is spilled to parquet partitioned by `kind` instead
+            # of a JVM cache: page/result/link consumers then do pruned
+            # column scans (kind is a directory partition), and the engine
+            # never holds millions of extraction rows on-heap.
+            cdir = self._p("combined", f"iter={k:06d}")
+            self.fetcher.fetch_extract(admitted).write.mode(
+                "overwrite"
+            ).partitionBy("kind").parquet(cdir)
+            combined = self.spark.read.parquet(cdir)
+            fetched = combined.filter(F.col("kind") == "page")
+            missed = admitted.join(fetched.select("url"), "url", "left_anti")
+            _mark("fetch_extract_results")
+        else:
+            fetched_raw, missed = self.fetcher.fetch(admitted)
+            # Observation: fetched-count rides along with the first action
+            # over `fetched` — no separate count job.
+            obs_fetched = Observation()
+            fetched = fetched_raw.observe(
+                obs_fetched, F.count(F.lit(1)).alias("n_fetched")
+            ).cache()
+            # ONE Python pass over html: extraction rows + link rows together
+            combined = extract_and_links(fetched).cache()
+            results = combined.filter(F.col("kind") == "result").select(
+                "url", "rowkey", "family", "cols"
+            )
+            results.write.mode("overwrite").parquet(
+                self._p("results", f"iter={k:06d}")
+            )
+            _mark("fetch_extract_results")
         (
             fetched.select(
                 "url", "host", "host_hash", "depth", "discovery_iter", "score",
@@ -230,34 +262,68 @@ class CrawlEngine:
             .write.mode("overwrite")
             .parquet(self._p("crawled", f"iter={k:06d}"))
         )
+        _mark("crawled_write")
+
+        if fused:
+            n_fetched = fetched.count()  # pruned count over kind=page files
+        else:
+            n_fetched = int(obs_fetched.get["n_fetched"])
+        n_missed = n_admitted - n_fetched
 
         # retry / failed split (Q5/Q6, …/crawler/SimpleWebCrawler.java:14,73-78)
-        retry = missed.filter(F.col("retry_count") + 1 < self.max_retries).select(
-            "url", "host", "host_hash", "depth", "discovery_iter", "score",
-            (F.col("retry_count") + 1).alias("retry_count"),
-        )
-        failed = missed.filter(F.col("retry_count") + 1 >= self.max_retries)
-        failed.select(
-            "url", F.lit("fetch_miss").alias("reason"), F.lit(k).alias("iter")
-        ).write.mode("overwrite").parquet(self._p("failed", f"iter={k:06d}"))
+        # — computed only when something actually missed: the anti-join +
+        # failed write would otherwise be two wasted jobs per iteration.
+        retry = None
+        if n_missed > 0:
+            missed = missed.cache()
+            retry = missed.filter(F.col("retry_count") + 1 < self.max_retries).select(
+                "url", "host", "host_hash", "depth", "discovery_iter", "score",
+                (F.col("retry_count") + 1).alias("retry_count"),
+            )
+            failed = missed.filter(F.col("retry_count") + 1 >= self.max_retries)
+            failed.select(
+                "url", F.lit("fetch_miss").alias("reason"), F.lit(k).alias("iter")
+            ).write.mode("overwrite").parquet(self._p("failed", f"iter={k:06d}"))
+        _mark("failed_write")
 
         # link discovery → normalize → should_visit gate → score (F1/F2)
-        links = combined.filter(F.col("kind") == "link").select(
-            F.col("url").alias("src_url"),
-            normalize_url(resolve_link("url", "out_url")).alias("url"),
-        )
-        parent_depth = fetched.select(
-            F.col("url").alias("src_url"), F.col("depth").alias("parent_depth")
-        )
-        candidates = (
-            links.filter(~F.col("url").rlike(EXT_BLACKLIST))
-            .join(parent_depth, "src_url")
-            .join(F.broadcast(self.site_rules), F.expr("url rlike url_regex"), "inner")
-            .groupBy("url")
-            .agg(
-                F.min("parent_depth").alias("parent_depth"),
-                F.max("score").alias("score"),
+        # dedup links BEFORE the rules join: raw links are ~40×/page, the
+        # rules join is a nested-loop regex match — running it on the unique
+        # URL set instead of every (src,out) edge cuts regex evals ~an order
+        # of magnitude at scale.
+        if fused:
+            # fused link rows already carry the parent depth (partial
+            # combine done map-side in the fetch worker) — no join needed
+            uniq_links = (
+                combined.filter(F.col("kind") == "link")
+                .select(
+                    normalize_url(resolve_link("url", "out_url")).alias("out"),
+                    F.col("depth").alias("parent_depth"),
+                )
+                .withColumnRenamed("out", "url")
+                .filter(~F.col("url").rlike(EXT_BLACKLIST))
+                .groupBy("url")
+                .agg(F.min("parent_depth").alias("parent_depth"))
             )
+        else:
+            links = combined.filter(F.col("kind") == "link").select(
+                F.col("url").alias("src_url"),
+                normalize_url(resolve_link("url", "out_url")).alias("url"),
+            )
+            parent_depth = fetched.select(
+                F.col("url").alias("src_url"), F.col("depth").alias("parent_depth")
+            )
+            uniq_links = (
+                links.filter(~F.col("url").rlike(EXT_BLACKLIST))
+                .join(parent_depth, "src_url")
+                .groupBy("url")
+                .agg(F.min("parent_depth").alias("parent_depth"))
+            )
+        candidates = (
+            uniq_links
+            .join(F.broadcast(self.site_rules), F.expr("url rlike url_regex"), "inner")
+            .groupBy("url", "parent_depth")
+            .agg(F.max("score").alias("score"))
             .withColumn("depth", F.col("parent_depth") + 1)
             .drop("parent_depth")
         )
@@ -278,15 +344,23 @@ class CrawlEngine:
         pending = frontier.join(admitted.select("url"), "url", "left_anti").select(
             *FRONTIER_COLS
         )
-        new_frontier = pending.unionByName(retry).unionByName(new_entries)
+        new_frontier = pending.unionByName(new_entries)
+        if retry is not None:
+            new_frontier = new_frontier.unionByName(retry)
+        # NOTE: measured — attaching an Observation to this write disables
+        # enough of AQE on the big union+anti-join plan to cost ~2× wall
+        # clock at 100k URLs; totals instead come from the per-shard
+        # metrics read-back (a tiny collect) below.
         fdir = self._p("frontier", f"v{k:06d}")
         new_frontier.write.mode("overwrite").parquet(fdir)
+        _mark("frontier_write")
 
         new_frontier_w = self.spark.read.parquet(fdir)
         new_w = new_frontier_w.filter(
             (F.col("discovery_iter") == k) & (F.col("retry_count") == 0)
         )
         self._write_seen(new_w.select("url", "host_hash"), k)
+        _mark("seen_write")
 
         # incremental bloom: O(new rows), OR-merged into the prior shards
         manifest = ck.get("bloom_manifest")
@@ -298,9 +372,11 @@ class CrawlEngine:
                 self.n_bloom_shards,
                 expected_per_shard=self.bloom_expected_per_shard,
             )
+        _mark("bloom_merge")
 
         # per-partition lineage metrics (north rule): admitted/new/frontier
-        # counts per host-hash shard — one job, read back tiny for totals
+        # counts per host-hash shard — one job; totals come from the
+        # frontier-write observation, not a read-back collect
         shard = F.pmod("host_hash", F.lit(self.n_bloom_shards)).alias("shard")
         (
             admitted.select(shard)
@@ -326,15 +402,16 @@ class CrawlEngine:
         mrows = self.spark.read.parquet(self._p("metrics", f"iter={k:06d}")).collect()
         frontier_size = sum(r["n_frontier"] or 0 for r in mrows)
         n_new = sum(r["n_new"] or 0 for r in mrows)
-        n_missed = missed.count()
+        _mark("metrics_counts")
 
         metrics = {
             "admitted": n_admitted,
-            "fetched": n_admitted - n_missed,
+            "fetched": n_fetched,
             "failed": n_missed,
             "new_urls": n_new,
             "frontier_size": frontier_size,
             "elapsed_sec": round(time.monotonic() - t0, 3),
+            "phase_sec": phases,
             "done": frontier_size == 0,
         }
         self._commit({
@@ -347,7 +424,8 @@ class CrawlEngine:
         })
         admitted.unpersist()
         fetched.unpersist()
-        missed.unpersist()
+        if n_missed > 0:
+            missed.unpersist()
         combined.unpersist()
         return metrics
 
@@ -365,7 +443,22 @@ class CrawlEngine:
         return self.spark.read.parquet(self._p("crawled"))
 
     def results_df(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("results"))
+        cols = ["url", "rowkey", "family", "cols"]
+        dfs = []
+        if os.path.exists(self._p("results")):
+            dfs.append(self.spark.read.parquet(self._p("results")).select(*cols))
+        if os.path.exists(self._p("combined")):
+            dfs.append(
+                self.spark.read.parquet(self._p("combined"))
+                .filter(F.col("kind") == "result")
+                .select(*cols)
+            )
+        if not dfs:
+            raise FileNotFoundError("no results written yet")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     # ---------------- J2 freshness re-admit ----------------------------
     def readmit_expired(self, ttl_iters: int) -> int:

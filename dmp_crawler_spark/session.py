@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # fat binary `html` column (~30-100KB/row): the default 4096-row
+        # vectorized-reader batch is ~120MB+ per task and OOMs a shared
+        # local-mode heap at 32 concurrent tasks; 256 rows ≈ 8MB/task.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
