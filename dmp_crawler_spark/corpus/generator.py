@@ -141,9 +141,11 @@ class GeneratorFetcher:
                 T.StructField("out_url", T.StringType(), True),
                 T.StructField("anchor", T.StringType(), True),
                 T.StructField("lang", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
             ]
         )
-        extra = ["kind", "rowkey", "family", "cols", "out_url", "anchor", "lang"]
+        extra = ["kind", "rowkey", "family", "cols", "out_url", "anchor",
+                 "lang", "text"]
 
         def gen(batches):
             import pandas as pd
@@ -154,7 +156,7 @@ class GeneratorFetcher:
                 rows: dict[str, list] = {c: [] for c in meta_fields + extra}
 
                 def emit(meta, kind, rowkey=None, family=None, cols=None,
-                         out_url=None, anchor=None, lang=None):
+                         out_url=None, anchor=None, lang=None, text=None):
                     for c in meta_fields:
                         rows[c].append(meta[c])
                     rows["kind"].append(kind)
@@ -164,6 +166,7 @@ class GeneratorFetcher:
                     rows["out_url"].append(out_url)
                     rows["anchor"].append(anchor)
                     rows["lang"].append(lang)
+                    rows["text"].append(text)
 
                 # link rows dominate the output volume (~40×/page): carry
                 # only (url=src, out_url, depth) and pre-combine duplicate
@@ -173,8 +176,13 @@ class GeneratorFetcher:
 
                 for meta in pdf.to_dict("records"):
                     idx = int(meta["url"].rsplit("/", 1)[-1].replace(".html", ""))
-                    _url, html, lang = templates.build_page_html(idx, n)
-                    emit(meta, "page", lang=lang)
+                    page = templates.build_page(idx, n)
+                    html = page["html"].decode("utf-8")
+                    # kind='page' rows are the pages-table landing (north
+                    # star: fetched pages land in an Iceberg table with a
+                    # boilerplate-stripped text column); html bytes are
+                    # elided from the log only for sandbox disk budget.
+                    emit(meta, "page", lang=page["lang"], text=page["text"])
                     d = meta["depth"]
                     host = meta["host"]
                     src = meta["url"]

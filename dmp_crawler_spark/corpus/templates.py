@@ -432,17 +432,6 @@ _BUILDERS = {
 }
 
 
-def build_page_html(idx: int, n_urls: int) -> tuple[str, str, str]:
-    """(url, html_str, lang) without the text column or utf-8 encode — the
-    fetch-path fast variant. The `text` column belongs to the pages-table
-    materialization (input_hint), not the crawl loop; computing it per fetch
-    would be discarded work (~2× page cost)."""
-    arch = archetype_for(idx)
-    html, _fields = _BUILDERS[arch](idx)
-    html = html.replace("{LINKS}", _links_html(idx, n_urls) + _boilerplate(idx))
-    return url_for(idx, n_urls), html, lang_for(idx)
-
-
 def build_page(idx: int, n_urls: int) -> dict:
     """Full page record: url, warc_ts, html(bytes), text, lang + ground truth."""
     from dmp_crawler_spark.extractors.htmlmini import jsoup_text

@@ -82,6 +82,7 @@ class CrawlEngine:
         n_bloom_shards: int = 16,
         use_bloom: bool = True,
         bloom_expected_per_shard: int = 1 << 16,
+        admit_salts: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -95,6 +96,9 @@ class CrawlEngine:
         self.n_bloom_shards = n_bloom_shards
         self.use_bloom = use_bloom
         self.bloom_expected_per_shard = bloom_expected_per_shard
+        # salted hot-host admission (north rule): spread a Zipf-hot host's
+        # frontier slice over admit_salts tasks before the exact rank
+        self.admit_salts = admit_salts
         os.makedirs(os.path.join(state_dir, "checkpoints"), exist_ok=True)
 
     # ---------------- state paths -------------------------------------
@@ -211,7 +215,8 @@ class CrawlEngine:
             else max(0, self.global_budget - ck["pages_crawled_total"])
         )
         admitted = politeness.admit(
-            eligible, self.per_host_budget, global_budget=remaining
+            eligible, self.per_host_budget, global_budget=remaining,
+            n_salts=self.admit_salts,
         ).select(*FRONTIER_COLS).cache()
         n_admitted = admitted.count()
         _mark("admit")

@@ -113,6 +113,19 @@ def compact_time(col: Column | str) -> Column:
     return F.date_format(F.try_to_timestamp(c, F.lit("yyyy-M-d H:m:s")), "HHmmss")
 
 
+# C9 — locale datetime parse: java.util.Date.toString() form
+# 'EEE MMM dd HH:mm:ss zzz yyyy' → timestamp (crawler/auto/
+# Crawler4PCAuto.java:655-671, SimpleDateFormat @ GMT+8). Spark ≥3 bans
+# 'EEE' in *parse* patterns (week-day adds no information), so the helper
+# strips the leading weekday token and parses the remainder.
+
+
+def parse_locale_datetime(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    rest = F.regexp_replace(c, r"^[A-Za-z]{3}\s+", "")
+    return F.try_to_timestamp(rest, F.lit("MMM dd HH:mm:ss zzz yyyy"))
+
+
 # C10 — str2Timestamp returning epoch-millis string, '0' on error
 # (crawler/auto/Crawler4PCAuto.java:635-648).
 

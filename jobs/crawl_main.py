@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--global-budget", type=int, default=None)
     ap.add_argument("--bloom-shards", type=int, default=64)
     ap.add_argument("--robots", action="store_true")
+    ap.add_argument("--gen-fetch", action="store_true",
+                    help="fused GeneratorFetcher (per-URL fetch cost, no corpus scan)")
+    ap.add_argument("--admit-salts", type=int, default=None,
+                    help="salted hot-host admission (north-rule skew path)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -44,7 +48,7 @@ def main() -> None:
         from pyspark.sql import SparkSession
         spark = SparkSession.builder.appName("crawl_main").getOrCreate()
 
-    if not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
+    if not args.gen_fetch and not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
         generator.write_pages(spark, args.n_urls, args.corpus)
 
     seeds = spark.createDataFrame(
@@ -52,14 +56,17 @@ def main() -> None:
          for i in range(args.seeds)],
         "seed string, site string",
     )
+    fetcher = (generator.GeneratorFetcher(spark, args.n_urls) if args.gen_fetch
+               else CorpusFetcher(spark, args.corpus))
     eng = CrawlEngine(
-        spark, args.state, CorpusFetcher(spark, args.corpus),
+        spark, args.state, fetcher,
         generator.generate_site_rules(spark),
         robots=generator.generate_robots(spark, args.n_urls) if args.robots else None,
         respect_robots=args.robots,
         per_host_budget=args.per_host_budget,
         global_budget=args.global_budget,
         n_bloom_shards=args.bloom_shards,
+        admit_salts=args.admit_salts,
     )
     t0 = time.monotonic()
     if eng.last_checkpoint() is None:

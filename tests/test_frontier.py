@@ -212,6 +212,43 @@ def test_politeness_budget_never_violated(spark):
     assert got == sorted(t[0] for t in top)
 
 
+def test_salted_admission_equals_unsalted(spark):
+    """North-rule salted skew path: the two-phase (host, salt) prefilter +
+    exact rank must admit the IDENTICAL set as the plain host window —
+    salting is a physical-plan change, never a semantic one."""
+    rows = [
+        (f"http://h{0 if i % 5 else i % 7}.example.com/p/{i}.html",
+         f"h{0 if i % 5 else i % 7}.example.com",  # h0 is Zipf-hot (~80%)
+         i % 4, i % 3, float(i % 6), 0)
+        for i in range(500)
+    ]
+    fr = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, discovery_iter int, score double, retry_count int",
+    )
+    plain = sorted(
+        r["url"] for r in politeness.admit(fr, per_host_budget=7).collect()
+    )
+    for n_salts in (2, 8, 64):
+        salted = sorted(
+            r["url"]
+            for r in politeness.admit(fr, per_host_budget=7, n_salts=n_salts).collect()
+        )
+        assert salted == plain, f"n_salts={n_salts} changed the admitted set"
+    # composes with the global budget cap
+    plain_g = sorted(
+        r["url"]
+        for r in politeness.admit(fr, per_host_budget=7, global_budget=11).collect()
+    )
+    salted_g = sorted(
+        r["url"]
+        for r in politeness.admit(
+            fr, per_host_budget=7, global_budget=11, n_salts=8
+        ).collect()
+    )
+    assert salted_g == plain_g
+
+
 def test_url_normalization_and_resolve(spark):
     df = spark.createDataFrame(
         [

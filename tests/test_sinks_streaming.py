@@ -100,6 +100,58 @@ def test_windowed_event_counts_batch(spark):
     assert sum(r["n"] for r in rows) == ev.count()
 
 
+def test_stateful_token_bucket(spark, tmp_path):
+    """applyInPandasWithState politeness: batch 1 drains the bucket under
+    the cap; state (remaining tokens) survives a restart through the
+    streaming checkpoint, bounding the NEXT run's admissions too."""
+    import json as _json
+
+    from dmp_crawler_spark.streaming.stateful import host_token_bucket
+
+    src = tmp_path / "req"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "url string, host string, depth int, discovery_iter int"
+
+    def write_batch(name: str, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows), encoding="utf-8"
+        )
+
+    out = str(tmp_path / "admitted")
+
+    def run_once() -> set:
+        stream = spark.readStream.schema(schema).json(str(src))
+        admitted = host_token_bucket(stream, capacity=3, refill=2)
+        q = (
+            admitted.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["url"] for r in spark.read.parquet(out).collect()}
+
+    write_batch(
+        "b1.json",
+        [{"url": f"http://h0.x/{i}", "host": "h0", "depth": 0,
+          "discovery_iter": 0} for i in range(5)],
+    )
+    got1 = run_once()
+    # capacity 3: the 3 lowest-url requests admitted, 2 dropped
+    assert got1 == {f"http://h0.x/{i}" for i in range(3)}
+
+    write_batch(
+        "b2.json",
+        [{"url": f"http://h0.x/n{i}", "host": "h0", "depth": 0,
+          "discovery_iter": 1} for i in range(5)],
+    )
+    got2 = run_once() - got1
+    # restart resumed state: bucket was 0+2 refill → only 2 admitted
+    assert got2 == {"http://h0.x/n0", "http://h0.x/n1"}
+
+
 def test_work_stream_foreachbatch(spark, tmp_path):
     src = tmp_path / "work"
     src.mkdir()
