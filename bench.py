@@ -32,8 +32,12 @@ BENCH_QUERIES = [
     "ann_topk",
     "event_hourly",
     "event_gaps",
+    "event_sessionize",
+    "f3_regex_taxonomy",
+    "fingerprint_dedup",
     "minhash_pairs",
     "simhash_pairs",
+    "ngram_jaccard",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("BENCH_CRAWL_URLS", "200000"))
@@ -147,8 +151,10 @@ def scaling() -> None:
         "BENCH_CRAWL_BUDGET": os.environ.get("SCALING_CRAWL_BUDGET", "500"),
         "BENCH_CRAWL_ITERS": os.environ.get("SCALING_CRAWL_ITERS", "3"),
     }
+    pair = os.environ.get("SCALING_PAIR", "8,32").split(",")
+    n_cpus, n4_cpus = pair[0].strip(), pair[1].strip()
     results = {}
-    for cpus in ("8", "32"):
+    for cpus in (n_cpus, n4_cpus):
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, BENCH_MODE="crawl_only",
                    **workload)
         out = subprocess.run(
@@ -157,15 +163,15 @@ def scaling() -> None:
         )
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    r8 = results["8"]["crawl"]["urls_per_sec"]
-    r32 = results["32"]["crawl"]["urls_per_sec"]
+    r8 = results[n_cpus]["crawl"]["urls_per_sec"]
+    r32 = results[n4_cpus]["crawl"]["urls_per_sec"]
     eff = round(r32 / (4 * r8), 3)
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{n_cpus}_to_{n4_cpus}",
         "value": eff,
         "unit": "ratio",
-        "urls_per_sec_local8": r8,
-        "urls_per_sec_local32": r32,
+        f"urls_per_sec_local{n_cpus}": r8,
+        f"urls_per_sec_local{n4_cpus}": r32,
         "workload": workload,
         "detail": {c: r["crawl"] for c, r in results.items()},
         "pass_ge_0.8": eff >= 0.8,

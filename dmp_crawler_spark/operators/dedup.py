@@ -66,6 +66,35 @@ def minhash_signature(text_col: str | Column, num_hashes: int = 32, k_shingle: i
     return F.array(*sigs)
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>) via explode → hash → min-aggregate.
+
+    The Column form (minhash_signature) embeds the shingle expression once
+    PER hash function — Catalyst does not CSE it, so 32 hashes recompute
+    the split/slice/join pipeline 32×. Exploding shingles once and taking
+    32 per-row hashes into a partial-aggregating min is both cheaper and
+    skew-safe (map-side combine bounds the shuffle by distinct shingles)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("s"),
+    )
+    hashed = sh.select(
+        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -77,17 +106,15 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket,
     with their estimated Jaccard (signature agreement rate).
 
-    Plan: explode to (band_key, id) — narrow; groupBy band_key is the only
-    wide shuffle; within-bucket self-join is tiny when buckets are small
-    (hot buckets are exact-dup clusters, handled upstream by exact_dedup).
-    """
+    Plan: the bucket self-join carries ONLY (id, band, bucket) — the
+    32-long signature arrays would otherwise be shuffled `bands`× per
+    side; signatures are re-attached to the (usually tiny) surviving
+    distinct pair set afterwards. Hot buckets are exact-dup clusters,
+    handled upstream by exact_dedup."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, k_shingle).alias("sig"),
-    )
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, k_shingle).cache()
     banded = sig.select(
-        "id", "sig",
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -102,32 +129,30 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(num_hashes)
-            ).alias("est_jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    sim = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select("id_a", "id_b", sim.alias("est_jaccard"))
+    )
 
 
 def minhash_dedup(
