@@ -27,12 +27,22 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   c_dates_pipeline    date helpers C4-C8 incl. sentinel (C4-C8)
   c14_md5_dedup       md5 fingerprint dedup (C14)
   c20_jsonp_unwrap    JSONP unwrap + JSON field (C19/C20)
+  f2_page_class       URL-class regex dispatch (F2)
+  f3_regex_taxonomy   first-match rule-table classifier (F3)
+  f6_shape_guard_split null-guard + requeue routing (F6)
+  c4_c5_ts_roundtrip  epoch<->date helpers w/ ''-on-bad (C4/C5/C10)
+  c_misc_scalars      after-colon/万-price/urldecode/template/bsid (C11/C12/C17/C18/C22)
+  c19_script_json     var config = {...} script-JSON extraction (C19)
+  s7_static_table     in-code literal table + broadcast join (S7)
+  event_sessionize    30-min-gap session windows (stateful batch form)
+  fingerprint_dedup   rolling-hash document fingerprint dedup
   lang_id / quality_score / token_counts  text analysis
   dedup_exact_norm    exact dedup on normalized text
   ann_topk / embedding_near_pairs  similarity search
   event_hourly / event_gaps  event-time analytics (streaming batch form)
-Rows-only (non-SQL-expressible): minhash_pairs, simhash_pairs, ivf_topk,
-  multimodal_features, crawl_engine_smoke.
+Rows-only (non-SQL-expressible): minhash_pairs, simhash_pairs, ngram_jaccard,
+  ivf_topk, multimodal_features, crawl_engine_smoke.
+See COVERAGE.md for the full SURVEY §2 row -> query/test mapping.
 """
 
 from __future__ import annotations

@@ -212,6 +212,42 @@ def test_politeness_budget_never_violated(spark):
     assert got == sorted(t[0] for t in top)
 
 
+def test_fused_fetcher_resume_and_salts_parity(spark, tmp_path):
+    """End-to-end over the fused GeneratorFetcher path: (a) a straight
+    3-iteration crawl and (b) a crawl with salted admission that is
+    stopped after iteration 2 and resumed by a NEW engine instance must
+    produce the identical per-iteration visit log and results."""
+    n = 300
+    seeds_df = spark.createDataFrame(
+        [(templates.url_for((i * 7919) % n, n), "") for i in range(5)],
+        "seed string, site string",
+    )
+    rules = generator.generate_site_rules(spark)
+
+    def mk(state_dir, **kw):
+        return CrawlEngine(
+            spark, str(state_dir), generator.GeneratorFetcher(spark, n),
+            rules, per_host_budget=3, n_bloom_shards=8, **kw,
+        )
+
+    a = mk(tmp_path / "a")
+    a.init_from_seeds(seeds_df)
+    a.run(max_iters=3)
+
+    b = mk(tmp_path / "b", admit_salts=4)
+    b.init_from_seeds(seeds_df)
+    b.run(max_iters=2)
+    # crash: engine object discarded; fresh instance resumes from ckpt
+    b2 = mk(tmp_path / "b", admit_salts=4)
+    assert b2.last_checkpoint()["iter"] == 2
+    b2.run(max_iters=1)
+
+    assert _visit_sets(a) == _visit_sets(b2)
+    res_a = {(r["rowkey"], r["family"]) for r in a.results_df().collect()}
+    res_b = {(r["rowkey"], r["family"]) for r in b2.results_df().collect()}
+    assert res_a == res_b and len(res_a) > 0
+
+
 def test_salted_admission_equals_unsalted(spark):
     """North-rule salted skew path: the two-phase (host, salt) prefilter +
     exact rank must admit the IDENTICAL set as the plain host window —
