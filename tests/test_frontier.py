@@ -248,6 +248,42 @@ def test_fused_fetcher_resume_and_salts_parity(spark, tmp_path):
     assert res_a == res_b and len(res_a) > 0
 
 
+def test_cross_fetcher_parity(spark, tmp_path):
+    """The fused GeneratorFetcher (bench path: regenerate page from URL,
+    extract in-worker, map-side link combine) must crawl EXACTLY like the
+    reference-faithful CorpusFetcher (corpus join + separate extract
+    stage) — same visit log per iteration, same results. This is what
+    makes the bench numbers a measurement of the same engine semantics."""
+    n = 300
+    corpus = str(tmp_path / "pages")
+    generator.write_pages(spark, n, corpus, partitions=4)
+    seeds_df = spark.createDataFrame(
+        [(templates.url_for((i * 7919) % n, n), "") for i in range(5)],
+        "seed string, site string",
+    )
+    rules = generator.generate_site_rules(spark)
+
+    engines = {}
+    for name, fetcher in (
+        ("corpus", CorpusFetcher(spark, corpus)),
+        ("gen", generator.GeneratorFetcher(spark, n)),
+    ):
+        eng = CrawlEngine(
+            spark, str(tmp_path / name), fetcher, rules,
+            per_host_budget=3, n_bloom_shards=8,
+        )
+        eng.init_from_seeds(seeds_df)
+        eng.run(max_iters=3)
+        engines[name] = eng
+
+    assert _visit_sets(engines["corpus"]) == _visit_sets(engines["gen"])
+    res = {
+        name: {(r["rowkey"], r["family"]) for r in e.results_df().collect()}
+        for name, e in engines.items()
+    }
+    assert res["corpus"] == res["gen"] and len(res["gen"]) > 0
+
+
 def test_salted_admission_equals_unsalted(spark):
     """North-rule salted skew path: the two-phase (host, salt) prefilter +
     exact rank must admit the IDENTICAL set as the plain host window —
