@@ -165,7 +165,8 @@ def scaling() -> None:
         results[cpus] = json.loads(line)
     r8 = results[n_cpus]["crawl"]["urls_per_sec"]
     r32 = results[n4_cpus]["crawl"]["urls_per_sec"]
-    eff = round(r32 / (4 * r8), 3)
+    factor = int(n4_cpus) / int(n_cpus)
+    eff = round(r32 / (factor * r8), 3)
     print(json.dumps({
         "metric": f"scaling_efficiency_{n_cpus}_to_{n4_cpus}",
         "value": eff,

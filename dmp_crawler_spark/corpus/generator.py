@@ -170,9 +170,16 @@ class GeneratorFetcher:
 
                 # link rows dominate the output volume (~40×/page): carry
                 # only (url=src, out_url, depth) and pre-combine duplicate
-                # (src-host, out_url) edges map-side — the Python analog of
-                # a partial aggregate before the shuffle.
-                link_min_depth: dict[tuple, tuple] = {}
+                # edges map-side — the Python analog of a partial aggregate
+                # before the shuffle. The combine keys on the RESOLVED
+                # absolute URL (urljoin — parity-tested vs resolve_link in
+                # tests/test_frontier.py): keying on the raw href would
+                # merge directory-relative hrefs from different source
+                # directories and silently drop a discoverable URL
+                # (ADVICE r01).
+                from urllib.parse import urljoin
+
+                link_min_depth: dict[str, tuple] = {}
 
                 for meta in pdf.to_dict("records"):
                     idx = int(meta["url"].rsplit("/", 1)[-1].replace(".html", ""))
@@ -184,10 +191,9 @@ class GeneratorFetcher:
                     # elided from the log only for sandbox disk budget.
                     emit(meta, "page", lang=page["lang"], text=page["text"])
                     d = meta["depth"]
-                    host = meta["host"]
                     src = meta["url"]
                     for m in href_re.finditer(html):
-                        key = (host, m.group(1))
+                        key = urljoin(src, m.group(1))
                         prev = link_min_depth.get(key)
                         if prev is None or d < prev[1]:
                             link_min_depth[key] = (src, d)
@@ -195,7 +201,7 @@ class GeneratorFetcher:
                         emit(meta, "result", rowkey=r["rowkey"],
                              family=r["family"], cols=r["cols"])
 
-                for (host, out_url), (src, d) in link_min_depth.items():
+                for out_url, (src, d) in link_min_depth.items():
                     emit({**none_meta, "url": src, "depth": d}, "link",
                          out_url=out_url)
                 yield pd.DataFrame(rows, columns=meta_fields + extra)

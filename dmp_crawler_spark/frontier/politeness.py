@@ -84,12 +84,15 @@ def admit(frontier: DataFrame, per_host_budget: int,
         budget = F.lit(per_host_budget)
     admitted = ranked.filter(F.col("rn") <= budget)
     if global_budget is not None:
-        # total order across hosts for the global cap: same key, then host
-        gw = Window.orderBy(
+        # Global cap = exact top-K by the same total-order key. A
+        # row_number() over an unpartitioned Window would funnel every
+        # admitted row (budget × #hosts — tens of millions at 10^7 hosts)
+        # through ONE task; orderBy().limit() instead compiles to
+        # TakeOrderedAndProject: each partition keeps its local top-K and
+        # only ≤ K survivors per partition reach the final merge.
+        admitted = admitted.drop("rn").orderBy(
             F.col("depth").asc(), F.col("discovery_iter").asc(),
             F.col("score").desc(), F.col("url").asc(),
-        )
-        admitted = admitted.withColumn("grn", F.row_number().over(gw)).filter(
-            F.col("grn") <= global_budget
-        ).drop("grn")
+        ).limit(global_budget)
+        return admitted
     return admitted.drop("rn")

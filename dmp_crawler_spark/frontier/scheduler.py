@@ -380,8 +380,9 @@ class CrawlEngine:
         _mark("bloom_merge")
 
         # per-partition lineage metrics (north rule): admitted/new/frontier
-        # counts per host-hash shard — one job; totals come from the
-        # frontier-write observation, not a read-back collect
+        # counts per host-hash shard — one job; iteration totals are then
+        # computed from this per-shard metrics parquet read-back (O(shards)
+        # rows, not O(urls))
         shard = F.pmod("host_hash", F.lit(self.n_bloom_shards)).alias("shard")
         (
             admitted.select(shard)

@@ -25,29 +25,79 @@ def host_hash_of(url: Column | str) -> Column:
 
 
 def normalize_url(url: Column | str) -> Column:
-    """Strip fragment + query-empty '?', lowercase scheme+host."""
+    """Strip fragment + query-empty '?', lowercase scheme+host, drop
+    default ports (http://h:80/ → http://h/, https://h:443/ → https://h/)."""
     c = F.col(url) if isinstance(url, str) else url
     c = F.regexp_replace(c, r"#.*$", "")
     c = F.regexp_replace(c, r"\?$", "")
     scheme_host = F.lower(F.regexp_extract(c, r"^(https?://[^/]+)", 1))
     rest = F.regexp_replace(c, r"^https?://[^/]+", "")
-    return F.when(scheme_host != "", F.concat(scheme_host, rest)).otherwise(c)
+    c = F.when(scheme_host != "", F.concat(scheme_host, rest)).otherwise(c)
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80(?=/|\?|$)", "$1")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443(?=/|\?|$)", "$1")
+    return c
+
+
+def _normalize_dots(url: Column) -> Column:
+    """RFC 3986 §5.2.4 remove-dot-segments on the path of an absolute URL,
+    as a pure Column expression: split the path on '/', fold segments with
+    F.aggregate ('.' skipped, '..' pops, clamped at root), and re-join.
+    Query/fragment are held aside so '?a=./x' is untouched."""
+    base = F.regexp_extract(url, r"^(https?://[^/?#]*)", 1)
+    path = F.regexp_extract(url, r"^https?://[^/?#]*([^?#]*)", 1)
+    tail = F.regexp_extract(url, r"^https?://[^/?#]*[^?#]*([?#].*)?$", 1)
+    has_dots = path.rlike(r"(^|/)\.\.?(/|$)")
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.when(
+                    F.size(acc) > 1,
+                    F.slice(acc, 1, F.size(acc) - 1),
+                ).otherwise(acc),
+            )
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    last = F.element_at(segs, -1)
+    rebuilt = F.concat_ws("/", folded)
+    # '.'/'..' as the FINAL segment leaves a trailing slash (urljoin parity)
+    rebuilt = F.when(
+        (last == ".") | (last == ".."), F.concat(rebuilt, F.lit("/"))
+    ).otherwise(rebuilt)
+    return F.when(has_dots, F.concat(base, rebuilt, tail)).otherwise(url)
 
 
 def resolve_link(src: Column | str, href: Column | str) -> Column:
-    """crawler4j/jsoup absUrl: absolute stays; '/x' joins scheme://host;
-    'x' joins the source directory; '//host/x' inherits scheme."""
+    """crawler4j/jsoup absUrl ≙ RFC 3986 relative resolution: absolute
+    stays; '//host/x' inherits scheme; '/x' joins scheme://host; '?q'
+    replaces the source query; '#f' replaces the fragment; 'x' joins the
+    source directory. './' and '../' segments are then normalized
+    (remove-dot-segments, clamped at root). Property-tested against
+    urllib.parse.urljoin (tests/test_frontier.py)."""
     s = F.col(src) if isinstance(src, str) else src
     h = F.col(href) if isinstance(href, str) else href
     scheme = F.regexp_extract(s, r"^(https?)://", 1)
     base = F.regexp_extract(s, r"^(https?://[^/]+)", 1)
-    src_dir = F.regexp_extract(s, r"^(https?://.*/)[^/]*$", 1)
-    return (
+    src_no_frag = F.regexp_replace(s, r"#.*$", "")
+    src_no_query = F.regexp_replace(src_no_frag, r"\?.*$", "")
+    src_dir = F.regexp_extract(src_no_query, r"^(https?://.*/)[^/]*$", 1)
+    # pathless source ("http://a.com"): the directory is the root
+    src_dir = F.when(src_dir == "", F.concat(base, F.lit("/"))).otherwise(src_dir)
+    joined = (
         F.when(h.rlike(r"^https?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(base, h))
+        .when(h.startswith("?"), F.concat(src_no_query, h))
+        .when(h.startswith("#"), F.concat(src_no_frag, h))
+        .when(h == "", s)
         .otherwise(F.concat(src_dir, h))
     )
+    return _normalize_dots(joined)
 
 
 def with_url_cols(df: DataFrame, url_col: str = "url") -> DataFrame:

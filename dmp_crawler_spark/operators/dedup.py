@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 from dmp_crawler_spark.functions.textstats import doc_fingerprint, shingles
 
+# last cached minhash-signature DataFrame, evicted on the next call
+_LAST_SIG_CACHE: DataFrame | None = None
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on the normalized fingerprint. One shuffle;
@@ -113,6 +116,15 @@ def minhash_lsh_pairs(
     handled upstream by exact_dedup."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, k_shingle).cache()
+    # bound cache growth across repeated calls in a long-lived session:
+    # evict the previous call's signature cache (ADVICE r01)
+    global _LAST_SIG_CACHE
+    if _LAST_SIG_CACHE is not None:
+        try:
+            _LAST_SIG_CACHE.unpersist(blocking=False)
+        except Exception:
+            pass
+    _LAST_SIG_CACHE = sig
     banded = sig.select(
         "id",
         F.explode(

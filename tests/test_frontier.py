@@ -321,6 +321,52 @@ def test_salted_admission_equals_unsalted(spark):
     assert salted_g == plain_g
 
 
+def test_resolve_link_urljoin_parity(spark):
+    """Property-style parity vs urllib.parse.urljoin over the cross product
+    of source shapes × href shapes, incl. '../' chains, './', query-only,
+    fragment-only, and empty hrefs (round-1 verdict item 9). One DataFrame
+    pass — not per-example Spark jobs."""
+    from urllib.parse import urljoin
+
+    srcs = [
+        "http://a.com/x/y.html",
+        "http://a.com/x/y/z.html?q=1#f",
+        "http://a.com/",
+        "http://a.com",
+        "http://a.com/x/",
+        "https://b.com/p/q/r",
+    ]
+    hrefs = [
+        "z.html", "./z.html", "../z.html", "../../z.html",
+        "../../../../z.html", "a/../b.html", "./../a/./b/../c.html",
+        "/abs/./x/../y.html", "//c.com/d", "http://c.com/e",
+        "?q=2", "#frag", "", "sub/dir/", "..", "../", ".", "./",
+    ]
+    rows = [(s, h, urljoin(s, h)) for s in srcs for h in hrefs]
+    df = spark.createDataFrame(rows, "src string, href string, expected string")
+    bad = df.select(
+        "src", "href", resolve_link("src", "href").alias("got"), "expected"
+    ).filter(F.col("got") != F.col("expected")).collect()
+    assert not bad, bad
+
+
+def test_normalize_url_strips_default_ports(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://a.com:80/x", "http://a.com/x"),
+            ("http://a.com:80", "http://a.com"),
+            ("https://a.com:443/x?q=1", "https://a.com/x?q=1"),
+            ("http://a.com:8080/x", "http://a.com:8080/x"),
+            ("https://a.com:80/x", "https://a.com:80/x"),
+        ],
+        "url string, expected string",
+    )
+    bad = df.select(
+        normalize_url("url").alias("got"), "expected"
+    ).filter(F.col("got") != F.col("expected")).collect()
+    assert not bad, bad
+
+
 def test_url_normalization_and_resolve(spark):
     df = spark.createDataFrame(
         [

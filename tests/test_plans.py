@@ -60,6 +60,23 @@ def test_admission_plan_single_shuffle(spark):
     assert inspect.count_exchanges(admitted) == 1
 
 
+def test_global_budget_is_distributed_topk(spark):
+    """The global cap must compile to TakeOrderedAndProject (distributed
+    per-partition top-K), NOT a row_number over an unpartitioned Window
+    (which funnels all admitted rows through one task). Round-1 verdict
+    item 5."""
+    from dmp_crawler_spark.frontier import politeness
+
+    fr = spark.createDataFrame(
+        [(f"http://h{i%5}.x/{i}", f"h{i%5}.x", i % 3, 0, 1.0, 0) for i in range(100)],
+        "url string, host string, depth int, discovery_iter int, score double, retry_count int",
+    )
+    admitted = politeness.admit(fr, per_host_budget=3, global_budget=7)
+    plan = inspect.physical_plan(admitted)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_oracle_queries_use_wholestage_codegen(spark):
     import __spark_entry__ as entrymod
 
