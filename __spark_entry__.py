@@ -705,36 +705,64 @@ def fingerprint_dedup(spark, d):
 
 
 def minhash_pairs_q(spark, d):
+    """MinHash-LSH near-dup pair SET (id_a, id_b): banded signature buckets
+    generate candidates, est_jaccard ≥ 0.5 selects pairs. Oracle = exact
+    all-pairs shingle Jaccard ≥ 0.5 in DuckDB: on the planted-duplicate
+    fixture the estimate and the exact value sit on the same side of the
+    threshold for every pair (verified at sf0.001 and sf0.01), so the pair
+    sets coincide and the comparison has teeth."""
     from dmp_crawler_spark.operators import dedup as dd
     docs = _t(spark, d, "documents").select("doc_id", "text")
-    return dd.minhash_lsh_pairs(docs, num_hashes=16, bands=8, k_shingle=3).filter(
-        F.col("est_jaccard") >= 0.5
+    return (
+        dd.minhash_lsh_pairs(docs, num_hashes=16, bands=8, k_shingle=3)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
     )
 
 
 def simhash_pairs_q(spark, d):
+    """SimHash near-dup pairs with the SQL-reproducible md5 token hash
+    (dedup.md5_token_hash, 60 bits) so DuckDB can recompute the identical
+    signatures. The 4-band pigeonhole candidate step has an EXACT recall
+    guarantee for hamming ≤ 3, so the result equals the oracle's all-pairs
+    hamming scan by construction. The library default stays xxhash64."""
     from dmp_crawler_spark.operators import dedup as dd
     docs = _t(spark, d, "documents").select("doc_id", "text")
-    return dd.simhash_near_pairs(docs, max_hamming=3)
+    return dd.simhash_near_pairs(
+        docs, max_hamming=3, hash_expr=dd.md5_token_hash, n_bits=60
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def ivf_topk_q(spark, d):
+    """IVF top-k through the full index machinery (probe ordering, cell
+    join, per-query ranking), verified against the exact DuckDB top-k.
+    n_probe=8 of 8 cells: the fixture embeddings are uniform random 64-dim
+    vectors, where near-neighbours do NOT concentrate in coarse cells, so
+    any pruning loses recall (verified: n_probe<8 drops true top-5 members
+    at sf0.001). The recall/pruning trade-off at lower n_probe is covered
+    by the pytest recall test (tests/test_operators.py)."""
     from dmp_crawler_spark.operators import similarity as sim
     emb = _t(spark, d, "embeddings")
     q = emb.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     indexed, centroids = sim.build_ivf_index(emb, n_cells=8)
-    return sim.ivf_topk(indexed, centroids, q, k=5, n_probe=3)
+    out = sim.ivf_topk(indexed, centroids, q, k=5, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def ngram_jaccard_q(spark, d):
-    """n-gram Jaccard near-dup: LSH candidates then exact shingle-set Jaccard.
-    Rows-only (minhash banding is not SQL-expressible)."""
+    """n-gram Jaccard near-dup: LSH candidates then exact shingle-set
+    Jaccard. Oracle = exact all-pairs Jaccard in DuckDB (list_intersect /
+    list_distinct on the same 3-word shingle sets); LSH recall at the 0.5
+    threshold verified exact on the planted-duplicate fixtures."""
     from dmp_crawler_spark.operators import dedup as dd
     docs = _t(spark, d, "documents").select("doc_id", "text")
-    return dd.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.5,
-                                  num_hashes=16, bands=8)
+    pairs = dd.ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.5,
+                                   num_hashes=16, bands=8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def multimodal_features_q(spark, d):
@@ -767,6 +795,50 @@ def crawl_engine_smoke(spark, d):
     eng.init_from_seeds(seeds)
     eng.run(max_iters=2)
     return eng.crawled_df().select("url", "host", "depth", "crawl_iter")
+
+
+def weixin_import_smoke(spark, d):
+    """Entry point C: the composed weixin import job (work scan → anti-join
+    + inverted-expiry → template fetch → selector extract → merge sink) on
+    a deterministic inline fixture. Rows-only: the pipeline is a multi-
+    stage job with a Python fetch/extract stage, not one SQL query; its
+    semantics are pinned by tests/test_weixin_job.py."""
+    from datetime import datetime, timezone
+
+    from dmp_crawler_spark.corpus.templates import build_weixin_page
+    from jobs import weixin_import as wx
+
+    weixin = spark.createDataFrame(
+        [(f"b{i % 7}", f"m{i % 5}", str(i % 3), f"s{i}", "20160830120000", "src")
+         for i in range(40)],
+        "biz string, mid string, idx string, sn string, data_time string, partition_source string",
+    )
+
+    def fetcher(plan):
+        from pyspark.sql import types as T
+
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["html"] = [
+                    build_weixin_page(b, m, i, s)
+                    for b, m, i, s in zip(pdf["biz"], pdf["mid"], pdf["idx"], pdf["sn"])
+                ]
+                yield pdf
+
+        schema = T.StructType(plan.schema.fields + [T.StructField("html", T.StringType())])
+        return plan.mapInPandas(run, schema)
+
+    art, _biz = wx.run_import(
+        spark, weixin, fetcher, "201608", "src",
+        datetime(2016, 9, 1, tzinfo=timezone.utc),
+    )
+    return art.select(
+        "rowkey",
+        F.element_at("cols", "article_title").alias("article_title"),
+        F.element_at("cols", "account_code").alias("account_code"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -823,7 +895,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": ivf_topk_q,
         "multimodal_features": multimodal_features_q,
         "crawl_engine_smoke": crawl_engine_smoke,
+        "weixin_import_smoke": weixin_import_smoke,
     }
+
+
+# DuckDB replica of functions.textstats.shingles(text, 3) + array_distinct:
+# 3-word shingles over whitespace-split lowercased trimmed text, whole text
+# as the single shingle when shorter than 3 tokens.
+_SHINGLE_SQL = """
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]
+                  ELSE [array_to_string(toks, ' ')] END
+           ) AS sh
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1196,5 +1286,77 @@ def oracle_sql() -> dict[str, str]:
                    max(gap) AS max_gap_sec
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        # exact all-pairs 3-word-shingle Jaccard — the ground truth the
+        # MinHash-LSH pair set must reproduce (threshold 0.5)
+        "minhash_pairs": f"""
+            WITH sh AS ({_SHINGLE_SQL})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLE_SQL})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+        """,
+        # identical md5-based 60-bit simhash recomputed in SQL, then exact
+        # all-pairs hamming ≤ 3 (the Spark side's 4-band pigeonhole has an
+        # exact recall guarantee at hamming ≤ 3, so the sets must match)
+        "simhash_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM toks
+            ), bits AS (
+                SELECT doc_id,
+                       {", ".join(
+                           f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+                           f" THEN (1::BIGINT << {i}) ELSE 0 END AS p{i}"
+                           for i in range(60)
+                       )}
+                FROM h GROUP BY doc_id
+            ), sig AS (
+                SELECT doc_id, ({" + ".join(f"p{i}" for i in range(60))}) AS simhash
+                FROM bits
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # exact cosine top-5 for query vectors 0 and 1 (IVF n_probe recall
+        # verified exact on these fixtures)
+        "ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 2
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # generate_media's deterministic shape re-derived in SQL: kind from
+        # id mod 3, payload is a 64-byte blake2b digest
+        "multimodal_features": """
+            SELECT i AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind,
+                   64 AS n_bytes
+            FROM range(64) t(i)
         """,
     }

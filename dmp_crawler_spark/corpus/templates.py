@@ -29,6 +29,13 @@ EPOCH_BASE = datetime(2016, 8, 1, tzinfo=timezone.utc)
 ARCHETYPES = [
     "auto_config", "auto_user", "bbs_post", "dealer_list", "ec_product",
     "article", "tour_detail", "news_article", "json_api",
+    # round 2: the non-Autohome auto-site suites + the Zhishiku wiki
+    #   zhishiku     ⇠ Crawler4Zhishiku.visitBBSPage (…/crawler/ms/Crawler4Zhishiku.java:87-231)
+    #   bitauto_car  ⇠ Crawler4BitAuto detail tables (…/crawler/auto/Crawler4BitAuto.java:360-530)
+    #   bitauto_user ⇠ Crawler4BitAuto user garage   (Crawler4BitAuto.java:140-315)
+    #   souhu_car    ⇠ Crawler4Autosouhu li scan     (…/crawler/auto/Crawler4Autosouhu.java:255-295)
+    #   pcauto_user  ⇠ Crawler4PCAuto user pages     (…/crawler/auto/Crawler4PCAuto.java:328-507)
+    "zhishiku", "bitauto_car", "bitauto_user", "souhu_car", "pcauto_user",
 ]
 
 _LEVELS = ["紧凑型车", "中型车", "中大型车", "SUV", "MPV"]
@@ -419,6 +426,327 @@ def _json_api(idx: int) -> tuple[str, dict]:
     return html, fields
 
 
+def _zhishiku(idx: int) -> tuple[str, dict]:
+    """C24/C21 — Crawler4Zhishiku.visitBBSPage
+    (…/crawler/ms/Crawler4Zhishiku.java:87-231): section fold via
+    split('<hr>'), '<br>'→'&&' rewrite, fragment reparse, colon split that
+    DROPS third+ parts, per-item '"'→\"'\" quote swap, nested map →
+    compact JSON (insertion order = our deterministic stand-in for
+    fastjson's HashMap order), plain-fragment-overwrites-map quirk.
+    The kw→name dictionary gate (ConfigUtil.getByKey) is modeled by
+    oracle.zhishiku_dict; page-miss marker '未能找到该词条' is replicated."""
+    from dmp_crawler_spark.extractors.htmlmini import jsoup_text
+    from dmp_crawler_spark.extractors.oracle import zhishiku_dict
+
+    kw = f"zk{800000 + idx}"
+    if zhishiku_dict(kw) == "":
+        html = "<html><body><div>词条未登记</div>{LINKS}</body></html>"
+        return html, {"rows": []}
+    if idx % 17 == 0:
+        html = "<html><body>未能找到该词条{LINKS}</body></html>"
+        return html, {"rows": []}
+    title = f"词条{idx}"
+    summary_name = f"概述{idx % 5}"
+    srows = [(f"属性{j}", f'值"{idx}-{j}"') for j in range(2 + idx % 3)]
+    stage_title = f"段落{idx % 7}"
+    frag_kv = f'疗法{idx % 4}:方一"{idx}"<br>方二{idx}<br>方三'
+    variant = idx % 3
+    if variant == 0:
+        frags = [frag_kv]                    # map value survives
+    elif variant == 1:
+        frags = [frag_kv, f'纯文"{idx}"段']  # plain fragment overwrites map
+    else:
+        frags = [f"多段:甲{idx}:乙", frag_kv]  # 3-way colon: '乙' dropped
+    body_html = "<hr>".join(frags)
+    trs = "".join(f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in srows)
+    html = (
+        '<html><body><div id="title"><div><div>'
+        f"<h1><font>{title}</font></h1>"
+        "<font>"
+        f"<div><h4>{summary_name}</h4>"
+        f"<table><tbody>{trs}</tbody></table></div>"
+        '<div class="panel panel-default">'
+        f'<div><div class="panel-heading"><strong>{stage_title}</strong></div></div>'
+        f'<div><div class="panel-body">{body_html}</div></div>'
+        "</div>"
+        "</font>"
+        "</div></div></div>{LINKS}</body></html>"
+    )
+    # ground truth mirrors the extractor's fold exactly
+    info_map: dict = {summary_name: {k: v.replace('"', "'") for k, v in srows}}
+    stage_map: dict = {}
+    for frag in body_html.split("<hr>"):
+        text = jsoup_text(frag.replace("<br>", "&&"))
+        parts = text.split(":")
+        if len(parts) > 1:
+            stage_map[parts[0]] = [v.replace('"', "'") for v in parts[1].split("&&")]
+            info_map[stage_title] = stage_map
+        else:
+            info_map[stage_title] = parts[0].replace('"', "'")
+    content = json.dumps(info_map, ensure_ascii=False, separators=(",", ":"))
+    time = (EPOCH_BASE + timedelta(seconds=idx)).strftime("%Y%m%d%H%M%S")
+    fields = {
+        "rowkey": kw,
+        "article_title": title,
+        "article_content": content,
+        "article_url": f"http://www.example.com/wiki/baike/search?kw={zhishiku_dict(kw)}",
+        "article_time": time,
+    }
+    return html, fields
+
+
+def _bitauto_car(idx: int) -> tuple[str, dict]:
+    """Crawler4BitAuto detail page — label-th → nextElementSibling td walk
+    over two spec tables + size assembly chang-kuan-gao with ''-holes
+    (…/crawler/auto/Crawler4BitAuto.java:360-530). Selectors are our
+    synthetic-site equivalents of the nth-child chains."""
+    brand = f"b{idx % 40}"
+    car_id = 310000 + idx
+    name = f"比亚车系{idx % 300}"
+    style = f"{name} 201{4 + idx % 3}款"
+    price = f"{8 + idx % 30}.{idx % 10}万"
+    perf: list[tuple[str, str]] = []
+    speed = fuel = pqa = gearbox = ""
+    if idx % 4 != 1:
+        speed = f"{150 + idx % 100}km/h"
+        perf.append(("最高车速", speed))
+    if idx % 3 != 2:
+        fuel = f"{5 + idx % 5}.{idx % 10}L"
+        perf.append(("综合工况油耗", fuel))
+    if idx % 5 != 3:
+        pqa = f"{2 + idx % 3}年或{6 + idx % 6}万公里"
+        perf.append(("保修政策", pqa))
+    if idx % 2 == 0:
+        gearbox = ["手动", "自动", "双离合"][idx % 3]
+        perf.append(("变速箱", gearbox))
+    perf.append((f"其他参数{idx % 9}", "忽略值"))  # unmatched label, walked over
+    dims: list[tuple[str, str]] = []
+    chang = kuan = gao = ""
+    if idx % 3 != 0:
+        chang = str(4200 + idx % 700)
+        dims.append(("长", chang))
+    if idx % 4 != 2:
+        kuan = str(1700 + idx % 200)
+        dims.append(("宽", kuan))
+    if idx % 5 != 4:
+        gao = str(1400 + idx % 300)
+        dims.append(("高", gao))
+    size = f"{chang}-{kuan}-{gao}"
+
+    def rows(tbl: list[tuple[str, str]]) -> str:
+        return "".join(f"<tr><th>{k}</th><td>{v}</td></tr>" for k, v in tbl)
+
+    html = (
+        "<html><body>"
+        f'<h3 class="car-name"><a>{name}</a></h3>'
+        f'<div id="car-pop">{style}</div>'
+        f'<div id="jiaGeDetail"><span><em>{price}</em></span></div>'
+        '<div id="DicCarParameter"><div class="car_config car_top_set">'
+        f'<table class="perf"><tbody>{rows(perf)}</tbody></table>'
+        f'<table class="dims"><tbody>{rows(dims)}</tbody></table>'
+        "</div></div>"
+        "{LINKS}</body></html>"
+    )
+    fields = {
+        "rowkey": f"00030006_{brand}_{car_id}",
+        "name": name,
+        "style": style,
+        "price": price,
+        "fuel": fuel,
+        "size": size,
+        "gearbox": gearbox,
+        "speed": speed,
+        "pqa": pqa,
+    }
+    return html, fields
+
+
+def _bitauto_user(idx: int) -> tuple[str, dict]:
+    """Crawler4BitAuto user garage — carId(type) list formatting including
+    the observable String-'==' bug (…/crawler/auto/Crawler4BitAuto.java:
+    160-295): flag is always false, so each put REPLACES the type list and
+    every car ends with exactly one type — the LAST section it appears in
+    (3=driving, 2=followed, 4=planned). Section anchors use span[href] so
+    the synthetic garage links never enter frontier discovery."""
+    user_id = 420000 + idx
+    nickname = f"车友{idx % 1000}"
+    city = f"城市{idx % 30}"
+    level = str(1 + idx % 9)
+    driving = [f"s{(idx * 7 + j) % 23}" for j in range(idx % 3)]
+    follow = [f"s{(idx * 11 + j) % 23}" for j in range((idx + 1) % 3)]
+    plan = [f"s{(idx * 13 + j) % 23}" for j in range((idx + 2) % 3)]
+    cars: dict[str, int] = {}
+    for cid in driving:
+        cars[cid] = 3
+    for cid in follow:
+        # the follow regex captures only the numeric tail (nb(\d+)), so the
+        # extractor's key space drops the series prefix — mirror that
+        cars[cid[1:]] = 2
+    for cid in plan:
+        cars[cid] = 4
+    user_car = ",".join(f"{cid}({t})" for cid, t in cars.items())
+
+    def sec(cls: str, hrefs: list[str]) -> str:
+        spans = "".join(f'<span class="car-link" href="{h}"></span>' for h in hrefs)
+        return f'<div class="{cls}">{spans}</div>'
+
+    html = (
+        "<html><body>"
+        f'<div id="avatar_title"><strong>{nickname}</strong></div>'
+        f'<ul class="his-infor"><li>等级：{level}</li><li>地区：{city}</li></ul>'
+        + sec("aiche_box", [f"http://car.bitauto.com/{c}/m{100 + j}" for j, c in enumerate(driving)])
+        + sec("guanzhucar_box", [f"http://dealer.bitauto.com/zuidijia/nb{c[1:]}/leads_source=0" for c in follow])
+        + sec("plan_box", [f"http://car.bitauto.com/{c}/m{200 + j}/" for j, c in enumerate(plan)])
+        + "{LINKS}</body></html>"
+    )
+    fields = {
+        "rowkey": f"00030006_{user_id}",
+        "nickname": nickname,
+        "city": city,
+        "level": level,
+        "user_car": user_car,
+    }
+    return html, fields
+
+
+def _souhu_car(idx: int) -> tuple[str, dict]:
+    """Crawler4Autosouhu detail page — label-matched <li> scan with
+    contains() + regexpExtract('label：(.*)')
+    (…/crawler/auto/Crawler4Autosouhu.java:255-295)."""
+    brand = f"b{idx % 40}"
+    car_id = 510000 + idx
+    name = f"搜狐车{idx % 200}"
+    style = f"{name} 201{4 + idx % 3}款"
+    price = f"{9 + idx % 25}.{idx % 10}万"
+    lis: list[str] = []
+    fuel = pqa = gearbox = size = ""
+    if idx % 3 != 1:
+        fuel = f"{5 + idx % 4}.{idx % 10}L/100km"
+        lis.append(f"工信部综合油耗：{fuel}")
+    if idx % 4 != 2:
+        pqa = f"{2 + idx % 4}年或{8 + idx % 5}万公里"
+        lis.append(f"保修政策：{pqa}")
+    if idx % 5 != 3:
+        gearbox = ["手动", "自动", "无级变速"][idx % 3]
+        lis.append(f"变速箱：{gearbox}")
+    if idx % 2 == 0:
+        size = f"{4300 + idx % 600}*{1700 + idx % 200}*{1400 + idx % 250}"
+        lis.append(f"车身尺寸：{size}")
+    lis.append(f"排量：{1 + idx % 3}.{idx % 10}L")  # unmatched label, ignored
+    li_html = "".join(f"<li>{t}</li>" for t in lis)
+    html = (
+        "<html><body>"
+        f'<div class="top_tit"><a class="series">{name}</a></div>'
+        f'<div id="carType">{style}</div>'
+        '<div class="carInfos"><div class="r">'
+        f'<div class="price-box"><a><font>{price}</font></a></div>'
+        f"<ul>{li_html}</ul>"
+        "</div></div>"
+        "{LINKS}</body></html>"
+    )
+    fields = {
+        "rowkey": f"00030106_{brand}_{car_id}",
+        "name": name,
+        "style": style,
+        "price": price,
+        "fuel": fuel,
+        "pqa": pqa,
+        "gearbox": gearbox,
+        "size": size,
+    }
+    return html, fields
+
+
+def _pcauto_user(idx: int) -> tuple[str, dict]:
+    """Crawler4PCAuto user pages incl. the observable null-rowkey quirk
+    (…/crawler/auto/Crawler4PCAuto.java:328-507,461-476): follow/fan pages
+    never initialize rowKey, so their rows land under a NULL rowkey; the
+    unconditional buy_info='' insert rides along on every page type."""
+    sub = idx % 3
+    user_id = 620000 + (idx // 3)
+    if sub == 0:
+        if idx % 19 == 0:
+            # digitless profile href → regexpExtract('(\\d*)') yields '' →
+            # the reference returns before inserting anything
+            html = (
+                '<html><body><div id="her-index">'
+                '<a href="http://my.pcauto.com.cn/none/#p">主页</a>'
+                "</div>{LINKS}</body></html>"
+            )
+            return html, {"rows": []}
+        gender_txt = "她的主页" if idx % 2 == 0 else "他的主页"
+        sex = "1" if "她" in gender_txt else "0"
+        name = f"用户{user_id}"
+        area = f"地区{idx % 30}"
+        birth = f"19{70 + idx % 30}-0{1 + idx % 9}-1{idx % 10}"
+        car_id = str(730000 + idx % 5000)
+        html = (
+            "<html><body>"
+            f'<div id="her-index"><a href="http://my.pcauto.com.cn/{user_id}/#p">{gender_txt}</a></div>'
+            '<div class="user-info clearfix"><div class="user-con">'
+            f"<span>用户:{name}</span><span>地区:{area}</span><span>生日:{birth}</span>"
+            "</div></div>"
+            f'<a id="carAttr{car_id}" href="#car"></a>'
+            "{LINKS}</body></html>"
+        )
+        fields = {
+            "rowkey": f"00030104_{user_id}",
+            "sex": sex,
+            "name": name,
+            "city": area,
+            "birthday": birth,
+            "cars": car_id,
+            "nickname": "",
+            "level": "",
+            "vip": "",
+            "buy_info": "",
+        }
+        return html, fields
+    kind = "follow" if sub == 1 else "fan"
+    n_friends = 1 + idx % 4
+    friends = [str(540000 + (idx * 3 + j) % 9000) for j in range(n_friends)]
+    inputs = "".join(f'<input class="accountId" value="{f}">' for f in friends)
+    html = (
+        "<html><body>"
+        '<div class="news"><div>'
+        f'<a class="current" href="http://my.pcauto.com.cn/{user_id}/{kind}#nav">{kind}</a>'
+        "</div></div>"
+        f"{inputs}"
+        "{LINKS}</body></html>"
+    )
+    col = "following" if kind == "follow" else "followers"
+    fields = {
+        "rowkey": None,
+        col: ",".join(friends),
+        "buy_info": "",
+    }
+    return html, fields
+
+
+def build_weixin_page(biz: str, mid: str, idx: str, sn: str,
+                      empty_code: bool = False) -> str:
+    """Deterministic weixin article page matching doReatableParse's
+    selectors (…/crawler/social/worker/WXEntityImporter.java:368-378).
+    empty_code=True models a blocked/placeholder page: weixinCode comes
+    back '' and the importer must write nothing."""
+    seed = f"{biz}:{mid}:{idx}:{sn}"
+    h = _mix(sum(ord(c) for c in seed))
+    code = "" if empty_code else f"wx_{h % 100000}"
+    code_span = f'<span class="profile_meta_value">{code}</span>'
+    return (
+        "<html><body>"
+        f'<h2 id="activity-name">文章{h % 1000}</h2>'
+        f'<em id="post-date">2016-0{1 + h % 9}-1{h % 10}</em>'
+        f'<div id="js_content">正文{seed}内容。</div>'
+        '<div id="js_profile_qrcode">'
+        f'<strong class="profile_nickname">公众号{h % 500}</strong>'
+        f"{code_span}"
+        f'<span class="profile_meta_value">简介{h % 700}</span>'
+        "</div>"
+        "</body></html>"
+    )
+
+
 _BUILDERS = {
     "auto_config": _auto_config,
     "auto_user": _auto_user,
@@ -429,6 +757,11 @@ _BUILDERS = {
     "tour_detail": _tour_detail,
     "news_article": _news_article,
     "json_api": _json_api,
+    "zhishiku": _zhishiku,
+    "bitauto_car": _bitauto_car,
+    "bitauto_user": _bitauto_user,
+    "souhu_car": _souhu_car,
+    "pcauto_user": _pcauto_user,
 }
 
 

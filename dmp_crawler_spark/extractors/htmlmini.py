@@ -181,9 +181,14 @@ def _match_simple(el: Element, simple: str) -> bool:
         elif part.startswith("."):
             if not el.has_class(part[1:]):
                 return False
-        else:  # [attr] or [attr=val]
+        else:  # [attr], [attr=val] or [attr^=val] (jsoup prefix match)
             body = part[1:-1]
-            if "=" in body:
+            if "^=" in body:
+                k, v = body.split("^=", 1)
+                v = v.strip("\"'")
+                if not el.attrs.get(k.strip(), "").startswith(v):
+                    return False
+            elif "=" in body:
                 k, v = body.split("=", 1)
                 v = v.strip("\"'")
                 if el.attrs.get(k.strip()) != v:
@@ -195,30 +200,46 @@ def _match_simple(el: Element, simple: str) -> bool:
 
 
 def _select_group(root: Element, group: str) -> list[Element]:
-    # tokenize into simple selectors and combinators
+    """jsoup-semantics select: candidates are the context element itself
+    plus its descendants (jsoup Element.getAllElements includes self — the
+    reference leans on this, e.g. font.select("font > div > h4") where the
+    context font matches the leftmost part), matched right-to-left; the
+    ancestor chain for combinators may climb ABOVE the context element
+    (jsoup evaluates ancestry absolutely, not subtree-bounded)."""
     tokens = re.findall(r">|[^\s>]+", group)
     if not tokens:
         return []
-    # current candidate set starts as all descendants matching first simple
-    current = [el for el in root.iter_elements() if _match_simple(el, tokens[0])]
+    simples: list[str] = [tokens[0]]
+    combs: list[str] = [""]  # combinator to the LEFT of simples[k]
     i = 1
     while i < len(tokens):
         comb = " "
         if tokens[i] == ">":
             comb = ">"
             i += 1
-        simple = tokens[i]
+        simples.append(tokens[i])
+        combs.append(comb)
         i += 1
-        nxt: list[Element] = []
-        seen: set[int] = set()
-        for el in current:
-            pool = el.child_elements() if comb == ">" else list(el.iter_elements())
-            for cand in pool:
-                if id(cand) not in seen and _match_simple(cand, simple):
-                    seen.add(id(cand))
-                    nxt.append(cand)
-        current = nxt
-    return current
+
+    def chain_ok(el: Element, k: int) -> bool:
+        if k == 0:
+            return True
+        if combs[k] == ">":
+            p = el.parent
+            return (
+                p is not None and p.tag != "#root"
+                and _match_simple(p, simples[k - 1]) and chain_ok(p, k - 1)
+            )
+        p = el.parent
+        while p is not None and p.tag != "#root":
+            if _match_simple(p, simples[k - 1]) and chain_ok(p, k - 1):
+                return True
+            p = p.parent
+        return False
+
+    last = len(simples) - 1
+    pool = ([root] if root.tag != "#root" else []) + list(root.iter_elements())
+    return [el for el in pool if _match_simple(el, simples[last]) and chain_ok(el, last)]
 
 
 class _Builder(HTMLParser):

@@ -368,6 +368,278 @@ def extract_json_api(url: str, html: str) -> list[dict]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# zhishiku ⇠ Crawler4Zhishiku.visitBBSPage (crawler/ms/Crawler4Zhishiku.java:
+# 87-231): C24 HTML-fragment rewriting (split('<hr>'), '<br>'→'&&',
+# fragment reparse) + C21 fastjson-style serialize with the '"'→"'" quote
+# swap. Deterministic choices standing in for reference non-determinism:
+# JSON key order = insertion order (vs Java HashMap), crawl timestamp =
+# EPOCH_BASE + idx seconds (vs System.currentTimeMillis).
+
+from datetime import datetime, timedelta, timezone
+
+_EPOCH_BASE = datetime(2016, 8, 1, tzinfo=timezone.utc)
+
+
+def _url_idx(url: str) -> int:
+    m = re.search(r"/(\d+)\.html", url or "")
+    return int(m.group(1)) if m else -1
+
+
+def zhishiku_dict(kw: str) -> str:
+    """ConfigUtil.getByKey stand-in (common/ConfigUtil.java:12-31): the
+    kw→词条名 properties dictionary; every 13th key is absent ('')."""
+    n = int(kw[2:])
+    return "" if (n - 800000) % 13 == 0 else f"词条名{n}"
+
+
+def extract_zhishiku(url: str, html: str) -> list[dict]:
+    idx = _url_idx(url)
+    kw = f"zk{800000 + idx}"  # ≙ url.split("=")[1] (Crawler4Zhishiku.java:90-95)
+    name = zhishiku_dict(kw)
+    if name == "":  # valueOfName.isEmpty() → return (:97-99)
+        return []
+    if "未能找到该词条" in html:  # (:103-104)
+        return []
+    root = parse(html)
+    title = _sel_text(root, "#title > div > div > h1 > font")
+    info_map: dict = {}
+    for font in root.select("#title > div > div > font"):
+        # summary block (:118-150)
+        h4 = font.select_one("font > div > h4")
+        if h4 is not None:
+            summary = h4.text()
+            summary_value_map: dict = {}
+            for tr in font.select("font > div > table > tbody > tr"):
+                tds = tr.select("tr > td")
+                key = value = ""
+                for num, td in enumerate(tds, start=1):
+                    if num % 2 == 0:
+                        value = td.text().replace('"', "'")
+                        summary_value_map[key] = value
+                    else:
+                        key = td.text()
+            info_map[summary] = summary_value_map
+        # panel blocks (:152-199): C24 fragment fold
+        for panel in font.select("font > div.panel,.panel-default"):
+            stage_map: dict = {}
+            stage_title = ""
+            for strong in panel.select("div > div.panel-heading > strong"):
+                stage_title = strong.text()
+            for body in panel.select("div > div.panel-body"):
+                for kv in body.html_inner().split("<hr>"):
+                    new_kv = kv.replace("<br>", "&&")
+                    kv_str = parse(new_kv).text()
+                    kv_strs = kv_str.split(":")
+                    if len(kv_strs) > 1:
+                        # Java kv_strs[1]: third+ colon parts are DROPPED
+                        values = kv_strs[1].split("&&")
+                        stage_map[kv_strs[0]] = [v.replace('"', "'") for v in values]
+                        info_map[stage_title] = stage_map
+                    else:
+                        info_map[stage_title] = kv_strs[0].replace('"', "'")
+    content = json.dumps(info_map, ensure_ascii=False, separators=(",", ":"))
+    time = (_EPOCH_BASE + timedelta(seconds=idx)).strftime("%Y%m%d%H%M%S")
+    return [{
+        "rowkey": kw,
+        "family": "article_info",
+        "cols": {
+            "article_title": title,
+            "article_content": content,
+            # rebuilt url = URL_PRF + dictionary value (:100-101,216)
+            "article_url": f"http://www.example.com/wiki/baike/search?kw={name}",
+            "article_time": time,
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# bitauto_car ⇠ Crawler4BitAuto detail page (crawler/auto/Crawler4BitAuto.
+# java:360-530): label-th → nextElementSibling td walk over two spec
+# tables; size assembled chang-kuan-gao with ''-holes (:508-510).
+
+
+def extract_bitauto_car(url: str, html: str) -> list[dict]:
+    idx = _url_idx(url)
+    root = parse(html)
+    name = _sel_text(root, "h3.car-name > a")
+    style = _sel_text(root, "#car-pop")
+    price = _sel_text(root, "#jiaGeDetail > span > em")
+
+    def th_walk(table_sel: str, labels: dict[str, str]) -> dict[str, str]:
+        out = dict.fromkeys(labels.values(), "")
+        for table in root.select(table_sel):
+            for tr in table.select("tbody > tr"):
+                for th in tr.select("tr > th"):
+                    lbl = th.text()
+                    if lbl in labels:
+                        sib = th.next_element_sibling()
+                        if sib is not None:
+                            out[labels[lbl]] = sib.text()
+        return out
+
+    perf = th_walk("#DicCarParameter table.perf", {
+        "最高车速": "speed", "综合工况油耗": "fuel",
+        "保修政策": "pqa", "变速箱": "gearbox",
+    })
+    dims = th_walk("#DicCarParameter table.dims", {"长": "chang", "宽": "kuan", "高": "gao"})
+    size = f"{dims['chang']}-{dims['kuan']}-{dims['gao']}"
+    return [{
+        "rowkey": f"00030006_b{idx % 40}_{310000 + idx}",
+        "family": "auto_info",
+        "cols": {
+            "name": name, "style": style, "price": price,
+            "fuel": perf["fuel"], "size": size, "gearbox": perf["gearbox"],
+            "speed": perf["speed"], "pqa": perf["pqa"],
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# bitauto_user ⇠ Crawler4BitAuto user garage (Crawler4BitAuto.java:140-315):
+# three regex-gated sections (3=driving :177-198, 2=followed :202-237,
+# 4=planned :240-273) folded into carId(type) strings — including the
+# String-'==' bug (:185-186 etc.): flag is always false, so each put
+# REPLACES the list and every car keeps only the LAST section's type.
+
+
+def extract_bitauto_user(url: str, html: str) -> list[dict]:
+    idx = _url_idx(url)
+    root = parse(html)
+    nickname = _sel_text(root, "#avatar_title > strong")
+    city = level = ""
+    for li in root.select("ul.his-infor > li"):
+        t = li.text()
+        got_city = _regexp_extract(t, r"地区：(.*)")
+        got_level = _regexp_extract(t, r"等级：(.*)")
+        if got_city:
+            city = got_city
+        if got_level:
+            level = got_level
+    cars: dict[str, int] = {}
+
+    def section(sel: str, rx: str, car_type: int) -> None:
+        for span in root.select(sel):
+            m = re.search(rx, span.attr("href"))
+            if m:
+                # the reference's ArrayList is always replaced (== bug) —
+                # last type wins, single-element list
+                cars[m.group(1)] = car_type
+
+    section("div.aiche_box span.car-link",
+            r"^http://car.bitauto.com/([a-z,A-Z,0-9]+)/m([0-9]+)$", 3)
+    section("div.guanzhucar_box span.car-link",
+            r"^http://dealer.bitauto.com/zuidijia/nb([0-9]+)/?leads_source=0$", 2)
+    section("div.plan_box span.car-link",
+            r"^http://car.bitauto.com/([a-z,A-Z,0-9]+)/m([0-9]+)/$", 4)
+    user_car = ",".join(f"{cid}({t})" for cid, t in cars.items())
+    return [{
+        "rowkey": f"00030006_{420000 + idx}",
+        "family": "user_info",
+        "cols": {
+            "nickname": nickname, "city": city, "level": level,
+            "user_car": user_car,
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# souhu_car ⇠ Crawler4Autosouhu detail page (crawler/auto/Crawler4Autosouhu.
+# java:255-295): label-matched <li> scan — contains(label) then
+# regexpExtract('label：(.*)').
+
+
+def extract_souhu_car(url: str, html: str) -> list[dict]:
+    idx = _url_idx(url)
+    root = parse(html)
+    name = _sel_text(root, "div.top_tit a.series")
+    style = _sel_text(root, "#carType")
+    price = _sel_text(root, "div.carInfos div.r div.price-box a font")
+    fuel = pqa = gearbox = size = ""
+    for ul in root.select("div.carInfos div.r ul"):
+        for li in ul.select("ul > li"):
+            t = li.text()
+            if "工信部综合油耗：" in t:
+                fuel = _regexp_extract(t, r"工信部综合油耗：(.*)")
+            elif "保修政策：" in t:
+                pqa = _regexp_extract(t, r"保修政策：(.*)")
+            elif "变速箱：" in t:
+                gearbox = _regexp_extract(t, r"变速箱：(.*)")
+            elif "车身尺寸：" in t:
+                size = _regexp_extract(t, r"车身尺寸：(.*)")
+    return [{
+        "rowkey": f"00030106_b{idx % 40}_{510000 + idx}",
+        "family": "auto_info",
+        "cols": {
+            "name": name, "style": style, "price": price,
+            "fuel": fuel, "pqa": pqa, "gearbox": gearbox, "size": size,
+        },
+    }]
+
+
+# ---------------------------------------------------------------------------
+# pcauto_user ⇠ Crawler4PCAuto user pages (crawler/auto/Crawler4PCAuto.java:
+# 328-507). The follow/fan branches never initialize rowKey (:461-476), so
+# those rows land under a NULL rowkey — an observable reference quirk the
+# engine's F6 shape guard can route. friend ids come from input.accountId
+# values gated by the 'current' nav anchor (parseFriendPage :680-699);
+# document order stands in for the reference's HashSet order.
+
+
+def extract_pcauto_user(url: str, html: str) -> list[dict]:
+    idx = _url_idx(url)
+    sub = idx % 3
+    root = parse(html)
+    if sub == 0:
+        els = root.select("#her-index a")
+        rowkey = None
+        cols: dict[str, str] = {}
+        if els:
+            gender = els[0].text()
+            user_id = _regexp_extract(els[0].attr("href"), r"http://my.pcauto.com.cn/(\d*)/")
+            if user_id == "":  # userId miss → bail before any insert (:363-366)
+                return []
+            rowkey = f"00030104_{user_id}"
+            cols["sex"] = "1" if "她" in gender else "0"
+        name = area = birth = ""
+        for span in root.select("div.user-info.clearfix div.user-con span"):
+            t = span.text()
+            if "用户" in t:
+                name = t[t.index(":") + 1:].strip() if ":" in t else ""
+            if "地区" in t:
+                area = t[t.index(":") + 1:].strip() if ":" in t else ""
+            if "生日" in t:
+                birth = t[t.index(":") + 1:].strip() if ":" in t else ""
+                if ":" in birth:
+                    birth = birth[:10]
+        cols["name"] = name
+        cols["city"] = area
+        cols["birthday"] = birth
+        car_el = root.select_one("a[id^=carAttr]")
+        cols["cars"] = car_el.attr("id").replace("carAttr", "") if car_el is not None else ""
+        # getUserAttr secondary API is a live JSONP call → null here, but
+        # the reference still inserts the empty strings (:440-455)
+        cols["nickname"] = ""
+        cols["level"] = ""
+        cols["vip"] = ""
+        cols["buy_info"] = ""
+        return [{"rowkey": rowkey, "family": "user_info", "cols": cols}]
+    kind = "follow" if sub == 1 else "fan"
+    friends: list[str] = []
+    for a in root.select("div.news > div > a"):
+        if a.has_class("current") and kind in a.attr("href"):
+            for inp in root.select("input.accountId"):
+                v = inp.attr("value")
+                if v not in friends:
+                    friends.append(v)
+    col = "following" if kind == "follow" else "followers"
+    return [{
+        "rowkey": None,  # rowKey never initialized on these pages (:461-476)
+        "family": "user_info",
+        "cols": {col: ",".join(friends), "buy_info": ""},
+    }]
+
+
 EXTRACTORS = {
     "auto_config": extract_auto_config,
     "auto_user": extract_auto_user,
@@ -378,6 +650,11 @@ EXTRACTORS = {
     "tour_detail": extract_tour_detail,
     "news_article": extract_news_article,
     "json_api": extract_json_api,
+    "zhishiku": extract_zhishiku,
+    "bitauto_car": extract_bitauto_car,
+    "bitauto_user": extract_bitauto_user,
+    "souhu_car": extract_souhu_car,
+    "pcauto_user": extract_pcauto_user,
 }
 
 

@@ -189,16 +189,25 @@ def minhash_dedup(
 # token hash bit i). Pure JVM: explode tokens → per-bit aggregate.
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def md5_token_hash(tok: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — SLOW path,
+    exists only because it is reproducible in ANSI SQL/DuckDB (the
+    correctness-oracle hash); the default xxhash64 is the JVM fast path."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            hash_expr=None, n_bits: int = 64) -> DataFrame:
+    hash_expr = hash_expr or (lambda t: F.xxhash64(t))
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_expr(F.col("tok")))
     bit_sums = toks.groupBy("id").agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ])
     sig = bit_sums.select(
         "id",
@@ -208,7 +217,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                     F.col(f"b{i}") > 0,
                     F.shiftleft(F.lit(1).cast("long"), i),  # bit 63 wraps to the sign bit, as intended
                 ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(n_bits)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -217,10 +226,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       hash_expr=None, n_bits: int = 64) -> DataFrame:
     """Near-dup pairs by simhash: 4-band pigeonhole (hamming ≤3 ⇒ some
-    16-bit band equal) → bucket join → exact popcount check."""
-    sig = simhash(docs, id_col, text_col)
+    16-bit band equal — an EXACT recall guarantee, not probabilistic) →
+    bucket join → exact popcount check."""
+    sig = simhash(docs, id_col, text_col, hash_expr=hash_expr, n_bits=n_bits)
     banded = sig.select(
         F.col(id_col).alias("id"), "simhash",
         F.explode(F.array(*[
