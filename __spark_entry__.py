@@ -797,6 +797,47 @@ def crawl_engine_smoke(spark, d):
     return eng.crawled_df().select("url", "host", "depth", "crawl_iter")
 
 
+def c24_fragment_fold(spark, d):
+    """C24/C21 as relational Column ops (the Zhishiku fold,
+    …/crawler/ms/Crawler4Zhishiku.java:173-199): synthesize an HTML-ish
+    fragment from each document, split on '<hr>', rewrite '<br>'→'&&',
+    colon-split the first fragment into key + '&&'-list (third+ colon
+    parts dropped), fastjson-style '"'→\"'\" quote swap, and assemble the
+    JSON list string manually so the bytes match the SQL oracle."""
+    docs = _t(spark, d, "documents")
+    frag = F.concat(
+        F.lit("主治:"), F.substring("text", 1, 40),
+        F.lit("<br>"), F.substring("text", 41, 40),
+        F.lit("<hr>"),
+        F.lit('备注"'), F.substring("text", 81, 20), F.lit('"'),
+    )
+    parts = F.split(frag, "<hr>")
+    first = F.regexp_replace(F.element_at(parts, 1), "<br>", "&&")
+    kv = F.split(first, ":")
+    vals = F.split(F.element_at(kv, 2), "&&")
+    vals_json = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(
+                vals,
+                lambda v: F.concat(
+                    F.lit('"'), F.regexp_replace(v, '"', "'"), F.lit('"')
+                ),
+            ),
+            ",",
+        ),
+        F.lit("]"),
+    )
+    plain = F.regexp_replace(F.element_at(parts, 2), '"', "'")
+    return docs.select(
+        "doc_id",
+        F.size(parts).alias("n_sections"),
+        F.element_at(kv, 1).alias("first_key"),
+        vals_json.alias("first_vals_json"),
+        plain.alias("plain_tail"),
+    )
+
+
 def weixin_import_smoke(spark, d):
     """Entry point C: the composed weixin import job (work scan → anti-join
     + inverted-expiry → template fetch → selector extract → merge sink) on
@@ -888,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_static_table": s7_static_table,
         "event_sessionize": event_sessionize,
         "fingerprint_dedup": fingerprint_dedup,
+        "c24_fragment_fold": c24_fragment_fold,
         # rows-only
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
@@ -1286,6 +1328,30 @@ def oracle_sql() -> dict[str, str]:
                    max(gap) AS max_gap_sec
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        "c24_fragment_fold": """
+            WITH f AS (
+                SELECT doc_id,
+                       '主治:' || substr(text, 1, 40) || '<br>'
+                       || substr(text, 41, 40) || '<hr>'
+                       || '备注"' || substr(text, 81, 20) || '"' AS frag
+                FROM documents
+            ), p AS (
+                SELECT doc_id, string_split(frag, '<hr>') AS parts FROM f
+            ), k AS (
+                SELECT doc_id, parts,
+                       string_split(replace(parts[1], '<br>', '&&'), ':') AS kv
+                FROM p
+            )
+            SELECT doc_id,
+                   CAST(len(parts) AS INT) AS n_sections,
+                   kv[1] AS first_key,
+                   '[' || array_to_string(
+                       list_transform(string_split(kv[2], '&&'),
+                                      v -> '"' || replace(v, '"', '''') || '"'),
+                       ',') || ']' AS first_vals_json,
+                   replace(parts[2], '"', '''') AS plain_tail
+            FROM k
         """,
         # exact all-pairs 3-word-shingle Jaccard — the ground truth the
         # MinHash-LSH pair set must reproduce (threshold 0.5)

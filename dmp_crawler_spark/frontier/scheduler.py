@@ -52,6 +52,31 @@ FRONTIER_COLS = [
 ]
 
 
+class EnrichmentSpec:
+    """J4 as a crawl stage: per-entity secondary API fetch merged into the
+    extraction row — the Crawler4Jingdong shape (price/comment JSONP calls
+    keyed by the productNO pulled in pass 1,
+    …/crawler/ec/Crawler4Jingdong.java:304-331,409-515).
+
+    family        result family whose rows carry the entity id
+    id_key        cols-map key holding the id extracted in pass 1
+    url_template  '%s' template building the secondary fetch URL (C18)
+    fetcher       callable DataFrame[ent_id, url] -> DataFrame[ent_id, payload]
+                  (the reference's AjaxClient; tests use a payload-table join)
+    parse         {out_col: fn(payload Column) -> Column} — the JSONP/JSON
+                  field extraction, declarative so it stays JVM-side.
+                  Out-col names must not collide with pass-1 cols keys.
+    """
+
+    def __init__(self, family: str, id_key: str, url_template: str,
+                 fetcher, parse: dict):
+        self.family = family
+        self.id_key = id_key
+        self.url_template = url_template
+        self.fetcher = fetcher
+        self.parse = parse
+
+
 class CorpusFetcher:
     """Simulated HTTP: the 'web' is the pages corpus table. fetch(admitted)
     joins on url; misses are fetch failures (S3 retry path). In production
@@ -83,6 +108,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_expected_per_shard: int = 1 << 16,
         admit_salts: int | None = None,
+        enrichment: EnrichmentSpec | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -99,6 +125,7 @@ class CrawlEngine:
         # salted hot-host admission (north rule): spread a Zipf-hot host's
         # frontier slice over admit_salts tasks before the exact rank
         self.admit_salts = admit_salts
+        self.enrichment = enrichment
         os.makedirs(os.path.join(state_dir, "checkpoints"), exist_ok=True)
 
     # ---------------- state paths -------------------------------------
@@ -241,6 +268,18 @@ class CrawlEngine:
             combined = self.spark.read.parquet(cdir)
             fetched = combined.filter(F.col("kind") == "page")
             missed = admitted.join(fetched.select("url"), "url", "left_anti")
+            if self.enrichment is not None:
+                # second fetch pass keyed by the pass-1 entity id; the
+                # enriched copy lands in results/iter=k, which results_df
+                # prefers over this iteration's combined slice
+                enriched = self._enrich(
+                    combined.filter(F.col("kind") == "result").select(
+                        "url", "rowkey", "family", "cols"
+                    )
+                )
+                enriched.write.mode("overwrite").parquet(
+                    self._p("results", f"iter={k:06d}")
+                )
             _mark("fetch_extract_results")
         else:
             fetched_raw, missed = self.fetcher.fetch(admitted)
@@ -255,6 +294,8 @@ class CrawlEngine:
             results = combined.filter(F.col("kind") == "result").select(
                 "url", "rowkey", "family", "cols"
             )
+            if self.enrichment is not None:
+                results = self._enrich(results)
             results.write.mode("overwrite").parquet(
                 self._p("results", f"iter={k:06d}")
             )
@@ -448,17 +489,64 @@ class CrawlEngine:
     def crawled_df(self) -> DataFrame:
         return self.spark.read.parquet(self._p("crawled"))
 
+    # ---------------- J4 enrichment fetch (second pass) -----------------
+    def _enrich(self, results: DataFrame) -> DataFrame:
+        """Per-entity secondary fetch merged into the extraction rows
+        (Crawler4Jingdong.java:304-331: productNO → price/comment JSONP →
+        fields on the same row). Distinct ids only — N rows sharing an
+        entity cost one fetch; the merge is a bounded join keyed on the id
+        (≤ admitted rows per iteration), never a collect."""
+        spec = self.enrichment
+        eid = F.element_at("cols", spec.id_key)
+        ids = (
+            results.filter(F.col("family") == spec.family)
+            .select(eid.alias("ent_id"))
+            .filter(F.col("ent_id").isNotNull() & (F.col("ent_id") != ""))
+            .distinct()
+        )
+        reqs = ids.withColumn(
+            "url", F.format_string(spec.url_template, "ent_id")
+        )
+        resp = spec.fetcher(reqs)
+        pairs = []
+        for name, fn in spec.parse.items():
+            pairs += [F.lit(name), fn(F.col("payload"))]
+        extra = resp.select("ent_id", F.create_map(*pairs).alias("__extra"))
+        out = results.withColumn(
+            "__eid",
+            F.when(F.col("family") == spec.family, eid).otherwise(F.lit(None)),
+        ).join(extra, F.col("__eid") == extra.ent_id, "left")
+        merged = F.when(
+            F.col("__extra").isNotNull(),
+            F.map_concat("cols", "__extra"),
+        ).otherwise(F.col("cols"))
+        return out.select(
+            "url", "rowkey", "family", merged.alias("cols")
+        )
+
     def results_df(self) -> DataFrame:
         cols = ["url", "rowkey", "family", "cols"]
         dfs = []
+        done_iters: set[int] = set()
         if os.path.exists(self._p("results")):
             dfs.append(self.spark.read.parquet(self._p("results")).select(*cols))
+            done_iters = {
+                int(n.split("=", 1)[1])
+                for n in os.listdir(self._p("results"))
+                if n.startswith("iter=")
+            }
         if os.path.exists(self._p("combined")):
-            dfs.append(
-                self.spark.read.parquet(self._p("combined"))
-                .filter(F.col("kind") == "result")
-                .select(*cols)
+            combined = self.spark.read.parquet(self._p("combined")).filter(
+                F.col("kind") == "result"
             )
+            if done_iters:
+                # an iteration with a results/ dir (the enriched copy) must
+                # not be double-counted from its combined slice; the filter
+                # is partition pruning — iter is a directory column
+                combined = combined.filter(
+                    ~F.col("iter").cast("int").isin(*done_iters)
+                )
+            dfs.append(combined.select(*cols))
         if not dfs:
             raise FileNotFoundError("no results written yet")
         out = dfs[0]

@@ -117,11 +117,16 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, k_shingle).cache()
     # bound cache growth across repeated calls in a long-lived session:
-    # evict the previous call's signature cache (ADVICE r01)
+    # evict the previous call's signature cache (ADVICE r01) — UNLESS the
+    # new plan is semantically identical, in which case Spark's cache
+    # manager shares one entry and unpersisting the old handle would evict
+    # the data the new call is about to reuse (e.g. ngram_jaccard_pairs
+    # right after minhash_lsh_pairs with the same params)
     global _LAST_SIG_CACHE
     if _LAST_SIG_CACHE is not None:
         try:
-            _LAST_SIG_CACHE.unpersist(blocking=False)
+            if not sig.sameSemantics(_LAST_SIG_CACHE):
+                _LAST_SIG_CACHE.unpersist(blocking=False)
         except Exception:
             pass
     _LAST_SIG_CACHE = sig
