@@ -797,6 +797,23 @@ def crawl_engine_smoke(spark, d):
     return eng.crawled_df().select("url", "host", "depth", "crawl_iter")
 
 
+def s9_search_index(spark, d):
+    """S9 Solr-sink analog: build the (term, id, tf) posting table over
+    documents and run a ranked term-match search ('hash join scan') —
+    most distinct terms matched first, then total tf, id tie-break."""
+    from dmp_crawler_spark.sinks.search import build_search_index, search
+
+    docs = _t(spark, d, "documents")
+    idx = build_search_index(docs)
+    out = search(idx, "hash join scan", k=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def c24_fragment_fold(spark, d):
     """C24/C21 as relational Column ops (the Zhishiku fold,
     …/crawler/ms/Crawler4Zhishiku.java:173-199): synthesize an HTML-ish
@@ -930,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": event_sessionize,
         "fingerprint_dedup": fingerprint_dedup,
         "c24_fragment_fold": c24_fragment_fold,
+        "s9_search_index": s9_search_index,
         # rows-only
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
@@ -1328,6 +1346,29 @@ def oracle_sql() -> dict[str, str]:
                    max(gap) AS max_gap_sec
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        "s9_search_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS term
+                FROM documents
+            ), post AS (
+                SELECT term, doc_id, count(*) AS tf
+                FROM toks WHERE term != '' GROUP BY term, doc_id
+            ), q AS (
+                SELECT unnest(['hash', 'join', 'scan']) AS term
+            ), sc AS (
+                SELECT doc_id,
+                       count(DISTINCT p.term) AS n_terms,
+                       CAST(sum(tf) AS BIGINT) AS score
+                FROM post p JOIN q USING (term)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms, score, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    ORDER BY n_terms DESC, score DESC, doc_id) AS INT) AS rank
+                FROM sc
+            ) WHERE rank <= 10
         """,
         "c24_fragment_fold": """
             WITH f AS (

@@ -35,7 +35,9 @@ ARCHETYPES = [
     #   bitauto_user ⇠ Crawler4BitAuto user garage   (Crawler4BitAuto.java:140-315)
     #   souhu_car    ⇠ Crawler4Autosouhu li scan     (…/crawler/auto/Crawler4Autosouhu.java:255-295)
     #   pcauto_user  ⇠ Crawler4PCAuto user pages     (…/crawler/auto/Crawler4PCAuto.java:328-507)
+    #   pcauto_car   ⇠ Crawler4PCAuto.getAutoInfo  (Crawler4PCAuto.java:144-290)
     "zhishiku", "bitauto_car", "bitauto_user", "souhu_car", "pcauto_user",
+    "pcauto_car",
 ]
 
 _LEVELS = ["紧凑型车", "中型车", "中大型车", "SUV", "MPV"]
@@ -723,6 +725,93 @@ def _pcauto_user(idx: int) -> tuple[str, dict]:
     return html, fields
 
 
+_PCAUTO_ITEMS = [
+    ("车型名称", "style"), ("级别", "level"), ("厂商指导价(元)", "price"),
+    ("最高车速(km/h)", "speed"), ("工信部综合油耗(L/100km)", "fuel"),
+    ("长×宽×高(mm)", "size"), ("车体结构", "struct"), ("整车质保", "pqa"),
+    ("发动机", "engine"), ("变速箱", "gearbox"),
+]
+
+
+def _pcauto_car(idx: int) -> tuple[str, dict]:
+    """Crawler4PCAuto.getAutoInfo (…/crawler/auto/Crawler4PCAuto.java:
+    144-290): breadcrumb serial id (regexpExtract '/sg(\\d*)/' on the LAST
+    anchor), `var config` script JSON, per-autoId keyed multi-row assembly
+    across Name-switched items (A5), C12 万-extract on price. Every 11th
+    page has no breadcrumb: serialId stays '' and rowkeys come out
+    '00030104__mXX' (observable reference behavior — no guard)."""
+    serial = 2000 + idx % 400
+    n_models = 1 + idx % 3
+    ids = [f"m{serial}{j}" for j in range(n_models)]
+    has_crumb = idx % 11 != 0
+    sid = str(serial) if has_crumb else ""
+
+    def vals(col: str, j: int) -> str:
+        if col == "style":
+            return f"系列{serial} 201{4 + j % 3}款 {j}"
+        if col == "level":
+            return _LEVELS[(idx + j) % len(_LEVELS)]
+        if col == "price":
+            # every 4th page uses a non-万 price → C12 extract yields ''
+            return "面议" if idx % 4 == 0 else f"{8 + (idx + j) % 30}.{(idx + j) % 100:02d}万"
+        if col == "speed":
+            return str(150 + (idx + j) % 100)
+        if col == "fuel":
+            return f"{5 + (idx + j) % 5}.{(idx + j) % 10}"
+        if col == "size":
+            return f"{4200 + idx % 700}×{1700 + idx % 200}×{1400 + idx % 300}"
+        if col == "struct":
+            return ["三厢车", "两厢车", "SUV"][(idx + j) % 3]
+        if col == "pqa":
+            return f"{2 + j % 3}年或{6 + j % 6}万公里"
+        if col == "engine":
+            return f"{1 + (idx + j) % 3}.{(idx + j) % 10}T"
+        return ["手动", "自动", "双离合"][(idx + j) % 3]
+
+    # vary which items the page carries (style/level/price always present)
+    present = [
+        (name, col) for i, (name, col) in enumerate(_PCAUTO_ITEMS)
+        if i < 3 or (idx + i) % 3 != 0
+    ]
+    items = [
+        {
+            "Name": name,
+            "ModelExcessIds": [
+                {"Id": mid_, "Value": vals(col, j)} for j, mid_ in enumerate(ids)
+            ],
+        }
+        for name, col in present
+    ]
+    config = json.dumps({"body": {"items": items}}, ensure_ascii=False)
+    html = (
+        "<html><body>"
+        '<div class="position"><div class="pos-mark">'
+        '<a href="/auto/#home">首页</a>'
+        + (f'<a href="/sg{serial}/#pos">系列{serial}</a>' if has_crumb else "")
+        + "</div></div>"
+        f"<script>var config = {config};</script>"
+        "{LINKS}</body></html>"
+    )
+    # ground truth mirrors insertData accumulation: rowkey first-insertion
+    # order (= the style item's ModelExcessIds order), cols per item order
+    rows = []
+    by_key: dict[str, dict] = {}
+    for name, col in present:
+        for j, mid_ in enumerate(ids):
+            rk = f"00030104_{sid}_{mid_}"
+            if rk not in by_key:
+                by_key[rk] = {"rowkey": rk}
+                rows.append(by_key[rk])
+            v = vals(col, j)
+            if col == "price":
+                import re as _re
+
+                m = _re.search(r"([.\d]*)万", v)
+                v = m.group(1).strip() if m else ""
+            by_key[rk][col] = v
+    return html, {"rows": rows}
+
+
 def build_weixin_page(biz: str, mid: str, idx: str, sn: str,
                       empty_code: bool = False) -> str:
     """Deterministic weixin article page matching doReatableParse's
@@ -762,6 +851,7 @@ _BUILDERS = {
     "bitauto_user": _bitauto_user,
     "souhu_car": _souhu_car,
     "pcauto_user": _pcauto_user,
+    "pcauto_car": _pcauto_car,
 }
 
 

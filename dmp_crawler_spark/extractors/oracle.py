@@ -640,6 +640,57 @@ def extract_pcauto_user(url: str, html: str) -> list[dict]:
     }]
 
 
+# ---------------------------------------------------------------------------
+# pcauto_car ⇠ Crawler4PCAuto.getAutoInfo (crawler/auto/Crawler4PCAuto.java:
+# 144-290): breadcrumb serial via regexpExtract on the LAST anchor's href,
+# `var config` script JSON, Name-switched items each looping ModelExcessIds
+# into per-autoId keyed rows (A5 multi-row assembly), C12 万-extract on
+# price. No breadcrumb guard: serialId '' yields '00030104__mX' rowkeys.
+
+_PCAUTO_COL_BY_NAME = {
+    "车型名称": "style", "级别": "level", "厂商指导价(元)": "price",
+    "最高车速(km/h)": "speed", "工信部综合油耗(L/100km)": "fuel",
+    "长×宽×高(mm)": "size", "车体结构": "struct", "整车质保": "pqa",
+    "发动机": "engine", "变速箱": "gearbox",
+}
+
+
+def extract_pcauto_car(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    crumbs = root.select("div.position > div.pos-mark > a")
+    serial = ""
+    if crumbs:
+        serial = _regexp_extract(crumbs[-1].attr("href"), r"/sg(\d*)/")
+    rows: list[dict] = []
+    by_key: dict[str, dict] = {}
+    for script in root.select("script"):
+        content = script.html_inner()
+        if "var config =" not in content:
+            continue
+        js = _regexp_extract(content, r"var config = (\{.*\});?")
+        if not js:
+            continue
+        try:
+            cfg = json.loads(js)
+        except ValueError:
+            continue
+        for item in cfg.get("body", {}).get("items", []):
+            col = _PCAUTO_COL_BY_NAME.get(item.get("Name", ""))
+            if col is None:
+                continue
+            for model in item.get("ModelExcessIds", []):
+                auto_id = str(model.get("Id", ""))
+                value = str(model.get("Value", ""))
+                if col == "price":
+                    value = _regexp_extract(value, r"([.\d]*)万")
+                rk = f"00030104_{serial}_{auto_id}"
+                if rk not in by_key:
+                    by_key[rk] = {"rowkey": rk, "family": "auto_info", "cols": {}}
+                    rows.append(by_key[rk])
+                by_key[rk]["cols"][col] = value
+    return rows
+
+
 EXTRACTORS = {
     "auto_config": extract_auto_config,
     "auto_user": extract_auto_user,
@@ -655,6 +706,7 @@ EXTRACTORS = {
     "bitauto_user": extract_bitauto_user,
     "souhu_car": extract_souhu_car,
     "pcauto_user": extract_pcauto_user,
+    "pcauto_car": extract_pcauto_car,
 }
 
 

@@ -77,6 +77,28 @@ def test_global_budget_is_distributed_topk(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_c24_fold_stays_jvm_side(spark):
+    """The C24 fragment fold must compile to pure Column expressions —
+    no Python evaluation nodes, whole-stage codegen span present."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.c24_fragment_fold(spark, "/root/testdata/sf0.001")
+    plan = inspect.physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert inspect.wholestage_codegen_ids(df) >= 1
+
+
+def test_embedding_near_pairs_is_bucketed_not_cartesian(spark):
+    """The oracle query must route through the banded-LSH bucket join —
+    a hash join on (band, bucket), never a cartesian/nested-loop product."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.embedding_near_pairs(spark, "/root/testdata/sf0.001")
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_oracle_queries_use_wholestage_codegen(spark):
     import __spark_entry__ as entrymod
 

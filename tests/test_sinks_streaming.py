@@ -100,6 +100,77 @@ def test_windowed_event_counts_batch(spark):
     assert sum(r["n"] for r in rows) == ev.count()
 
 
+def test_windowed_event_counts_streaming_drops_late(spark, tmp_path):
+    """True streaming semantics: append-mode windows finalize when the
+    watermark passes their end, and an event arriving AFTER its window's
+    watermark cutoff is dropped. Two micro-batches (maxFilesPerTrigger=1,
+    file mtimes pinned so ordering is deterministic): batch 1 advances the
+    watermark past the 09:00 window; batch 2's 09:50 straggler must not
+    appear in the finalized count."""
+    import json as _json
+    import os
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    day = "2016-08-01"
+    # batch 0: establishes the 09:00 window and pushes max event time to
+    # 12:05 (watermark 10:05 effective from batch 1 on)
+    write("f1.json", [
+        {"event_type": "A", "ts": f"{day} 09:30:00", "value": 1.0},
+        {"event_type": "A", "ts": f"{day} 09:45:00", "value": 1.0},
+        {"event_type": "B", "ts": f"{day} 12:05:00", "value": 1.0},
+    ], 1_000_000_000)
+    # batch 1: innocuous row; at END of this batch the 09:00 window
+    # (end 10:00 < watermark 10:05) is evicted and EMITTED with n=2 —
+    # state eviction lags one batch behind the watermark-advancing data
+    write("f2.json", [
+        {"event_type": "B", "ts": f"{day} 12:10:00", "value": 1.0},
+    ], 1_000_000_010)
+    # batch 2: the straggler — its window's state is gone, so the row is
+    # dropped by the watermark (numRowsDroppedByWatermark) and the
+    # finalized count never changes
+    write("f3.json", [
+        {"event_type": "A", "ts": f"{day} 09:50:00", "value": 1.0},
+    ], 1_000_000_020)
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = jobs.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    )
+    rows = {
+        (r["window_start"].strftime("%H:%M"), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the 09:00 window finalized with 2 events — the straggler was dropped
+    assert rows.get(("09:00", "A")) == 2
+    assert dropped == 1
+    # the 12:00 window never finalized (watermark never passed 13:00)
+    assert not any(k[0] == "12:00" for k in rows)
+
+
 def test_stateful_token_bucket(spark, tmp_path):
     """applyInPandasWithState politeness: batch 1 drains the bucket under
     the cap; state (remaining tokens) survives a restart through the
@@ -175,3 +246,34 @@ def test_work_stream_foreachbatch(spark, tmp_path):
     q.awaitTermination(60)
     # poison-pill rows (idx=-1) are filtered; the rest processed exactly once
     assert sorted(seen) == ["b1", "b3"]
+
+
+def test_search_index_sink(spark, tmp_path):
+    """S9: posting table + ranked term-match search; bucketed persistence
+    round-trips and the ranking is deterministic."""
+    from dmp_crawler_spark.sinks import search as search_sink
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join scan"),      # 3 terms, tf 5
+            (2, "hash hash hash hash hash"),      # 1 term, tf 5
+            (3, "join scan"),                     # 2 terms, tf 2
+            (4, "sort merge window"),             # 0 terms
+            (5, "scan join hash"),                # 3 terms, tf 3
+        ],
+        "doc_id long, text string",
+    )
+    idx = search_sink.build_search_index(docs)
+    out = search_sink.search(idx, "hash join scan", k=3).collect()
+    assert [(r["id"], r["n_terms"], r["score"], r["rank"]) for r in out] == [
+        (1, 3, 5, 1), (5, 3, 3, 2), (3, 2, 2, 3)
+    ]
+    # bucketed persistence round-trip
+    search_sink.write_search_index(
+        idx, "t_search_idx_test", str(tmp_path / "idx"), n_buckets=4
+    )
+    back = spark.table("t_search_idx_test")
+    assert back.count() == idx.count()
+    out2 = search_sink.search(back, "hash join scan", k=3).collect()
+    assert [r["id"] for r in out2] == [1, 5, 3]
+    spark.sql("DROP TABLE t_search_idx_test")
