@@ -797,6 +797,54 @@ def crawl_engine_smoke(spark, d):
     return eng.crawled_df().select("url", "host", "depth", "crawl_iter")
 
 
+def gpsspg_bs_import(spark, d):
+    """Entry point B (Crawler4Gpsspg.loadAndSave): work scan → length-12
+    gate → C22 bsid split → C18 URL → JSONP unwrap → status gate →
+    result[0] fields. The work table and API payloads are synthesized
+    deterministically from `part` (no external data), so DuckDB can replay
+    the identical pipeline end-to-end. Pure Column ops throughout."""
+    from jobs import gpsspg_import as gp
+
+    part = _t(spark, d, "part")
+    pk = F.col("p_partkey")
+    bsid = F.when(
+        pk % 10 == 0, F.lpad(pk.cast("string"), 11, "0")  # length-11 → gated out
+    ).otherwise(F.lpad(pk.cast("string"), 12, "0"))
+    work = part.select(
+        bsid.alias("bsid"),
+        F.lit("imsi1").alias("imsi"),
+        F.when(pk % 13 == 0, F.lit("")).otherwise(F.lit("20160801")).alias("datetime"),
+    )
+
+    def fetcher(reqs):
+        n = F.col("bsid").cast("int")
+        good = F.concat(
+            F.lit('jQuery12({"status":200,"result":[{"id":"bs'), n.cast("string"),
+            F.lit('","lat":"3'), (n % 90).cast("string"),
+            F.lit('.5","lng":"1'), (n % 80).cast("string"),
+            F.lit('.25","radius":"'), (50 + n % 900).cast("string"),
+            F.lit('","address":"地址'), (n % 1000).cast("string"),
+            F.lit('","roads":"路'), (n % 50).cast("string"),
+            F.lit('","rid":"r'), (n % 200).cast("string"),
+            F.lit('","rids":"r'), (n % 200).cast("string"),
+            F.lit(',r'), ((n + 1) % 200).cast("string"),
+            F.lit('"}]})'),
+        )
+        payload = (
+            F.when(n % 7 == 0, F.lit('jQuery12({"status":404})'))
+            .when(n % 11 == 0, F.lit("not-a-jsonp-response"))
+            .otherwise(good)
+        )
+        return reqs.withColumn("payload", payload)
+
+    rows = gp.run_import(work, fetcher)
+    return rows.select(
+        "rowkey",
+        *[F.element_at("cols", f).alias(f)
+          for f in ["id", "lat", "lng", "radius", "address", "roads", "rid", "rids"]],
+    )
+
+
 def s9_search_index(spark, d):
     """S9 Solr-sink analog: build the (term, id, tf) posting table over
     documents and run a ranked term-match search ('hash join scan') —
@@ -948,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": fingerprint_dedup,
         "c24_fragment_fold": c24_fragment_fold,
         "s9_search_index": s9_search_index,
+        "gpsspg_bs_import": gpsspg_bs_import,
         # rows-only
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
@@ -1346,6 +1395,50 @@ def oracle_sql() -> dict[str, str]:
                    max(gap) AS max_gap_sec
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        "gpsspg_bs_import": """
+            WITH work AS (
+                SELECT DISTINCT
+                       CASE WHEN p_partkey % 10 = 0
+                            THEN lpad(CAST(p_partkey AS VARCHAR), 11, '0')
+                            ELSE lpad(CAST(p_partkey AS VARCHAR), 12, '0') END AS bsid
+                FROM part
+                WHERE NOT (p_partkey % 13 = 0)   -- empty-datetime rows filtered
+            ), plan AS (
+                SELECT bsid, CAST(bsid AS INT) AS n FROM work WHERE length(bsid) = 12
+            ), resp AS (
+                SELECT bsid,
+                       CASE WHEN n % 7 = 0 THEN 'jQuery12({"status":404})'
+                            WHEN n % 11 = 0 THEN 'not-a-jsonp-response'
+                            ELSE 'jQuery12({"status":200,"result":[{"id":"bs'
+                                 || CAST(n AS VARCHAR)
+                                 || '","lat":"3' || CAST(n % 90 AS VARCHAR)
+                                 || '.5","lng":"1' || CAST(n % 80 AS VARCHAR)
+                                 || '.25","radius":"' || CAST(50 + n % 900 AS VARCHAR)
+                                 || '","address":"地址' || CAST(n % 1000 AS VARCHAR)
+                                 || '","roads":"路' || CAST(n % 50 AS VARCHAR)
+                                 || '","rid":"r' || CAST(n % 200 AS VARCHAR)
+                                 || '","rids":"r' || CAST(n % 200 AS VARCHAR)
+                                 || ',r' || CAST((n + 1) % 200 AS VARCHAR)
+                                 || '"}]})'
+                       END AS payload
+                FROM plan
+            ), js AS (
+                SELECT bsid,
+                       regexp_extract(payload, 'jQuery\\d+.*\\((\\{.*\\})+\\)', 1) AS j
+                FROM resp
+            )
+            SELECT bsid AS rowkey,
+                   json_extract_string(j, '$.result[0].id') AS id,
+                   json_extract_string(j, '$.result[0].lat') AS lat,
+                   json_extract_string(j, '$.result[0].lng') AS lng,
+                   json_extract_string(j, '$.result[0].radius') AS radius,
+                   json_extract_string(j, '$.result[0].address') AS address,
+                   json_extract_string(j, '$.result[0].roads') AS roads,
+                   json_extract_string(j, '$.result[0].rid') AS rid,
+                   json_extract_string(j, '$.result[0].rids') AS rids
+            FROM js
+            WHERE j != '' AND json_extract_string(j, '$.status') = '200'
         """,
         "s9_search_index": """
             WITH toks AS (

@@ -36,8 +36,9 @@ ARCHETYPES = [
     #   souhu_car    ⇠ Crawler4Autosouhu li scan     (…/crawler/auto/Crawler4Autosouhu.java:255-295)
     #   pcauto_user  ⇠ Crawler4PCAuto user pages     (…/crawler/auto/Crawler4PCAuto.java:328-507)
     #   pcauto_car   ⇠ Crawler4PCAuto.getAutoInfo  (Crawler4PCAuto.java:144-290)
+    #   haodf_article⇠ Crawler4Haodf.parseExpertArticles (…/crawler/medcine/Crawler4Haodf.java:62-166)
     "zhishiku", "bitauto_car", "bitauto_user", "souhu_car", "pcauto_user",
-    "pcauto_car",
+    "pcauto_car", "haodf_article",
 ]
 
 _LEVELS = ["紧凑型车", "中型车", "中大型车", "SUV", "MPV"]
@@ -725,6 +726,66 @@ def _pcauto_user(idx: int) -> tuple[str, dict]:
     return html, fields
 
 
+def _haodf_article(idx: int) -> tuple[str, dict]:
+    """Crawler4Haodf.parseExpertArticles (…/crawler/medcine/Crawler4Haodf.
+    java:62-166): per-field sentinel defaults (未知分类/未知标题/…) when a
+    selector misses, a failure-tag log accumulating '[No …]' markers (the
+    reference's sink IS this debug log — no HBase/Solr write), jsoup
+    [attr!=val] selectors for the pub-time span, and the reference's
+    copy-paste bug where a missing pub time logs '[No title]' (:109-111)."""
+    has_cat = idx % 5 != 0
+    has_title = idx % 7 != 0
+    has_time = idx % 9 != 0
+    has_writer = idx % 11 != 0
+    has_pv = has_writer and idx % 13 != 0
+    has_content = idx % 17 != 0
+    cat = f"分类{idx % 8}"
+    title = f"专家文章{idx}"
+    ptime = f"2016-0{1 + idx % 9}-1{idx % 10}"
+    writer = f"医生{idx % 50}"
+    pv = str(100 + idx % 900)
+    content = f"医学科普内容{idx}。 详细说明文字。"
+    meta = []
+    if has_time:
+        meta.append(f'<span class="pub">{ptime}</span>')
+    if has_writer:
+        inner = f"<a>{writer}</a>" + (f"<font>{pv}</font>" if has_pv else "")
+        meta.append(f'<span class="ml20">{inner}</span>')
+    html = (
+        "<html><body>"
+        + (f'<div class="bg_w mb20"><p class="art_detail_cate">{cat}</p></div>'
+           if has_cat else '<div class="bg_w mb20"></div>')
+        + (f'<h1 class="fn"><p>{title}</p></h1>' if has_title else "")
+        + f'<p class="pb20 gray2 tc pt5 fs">{"".join(meta)}</p>'
+        + (f'<div class="article_detail">{content}</div>' if has_content else "")
+        + "{LINKS}</body></html>"
+    )
+    missing = []
+    if not has_cat:
+        missing.append("[No category]")
+    if not has_title:
+        missing.append("[No title]")
+    if not has_time:
+        missing.append("[No title]")  # reference bug: pub-time miss logs [No title]
+    if not has_writer:
+        missing.append("[No article writer]")
+    if not has_pv:
+        missing.append("[No articlePV]")
+    if not has_content:
+        missing.append("[No content]")
+    fields = {
+        "rowkey": None,  # the reference never forms a rowkey (log-only sink)
+        "category": cat if has_cat else "未知分类",
+        "title": title if has_title else "未知标题",
+        "pub_time": ptime if has_time else "未知时间",
+        "writer": writer if has_writer else "未知作者",
+        "pv": pv if has_pv else "未知次数",
+        "content": content if has_content else "未知内容",
+        "missing": ",".join(missing),
+    }
+    return html, fields
+
+
 _PCAUTO_ITEMS = [
     ("车型名称", "style"), ("级别", "level"), ("厂商指导价(元)", "price"),
     ("最高车速(km/h)", "speed"), ("工信部综合油耗(L/100km)", "fuel"),
@@ -852,6 +913,7 @@ _BUILDERS = {
     "souhu_car": _souhu_car,
     "pcauto_user": _pcauto_user,
     "pcauto_car": _pcauto_car,
+    "haodf_article": _haodf_article,
 }
 
 

@@ -181,9 +181,16 @@ def _match_simple(el: Element, simple: str) -> bool:
         elif part.startswith("."):
             if not el.has_class(part[1:]):
                 return False
-        else:  # [attr], [attr=val] or [attr^=val] (jsoup prefix match)
+        else:  # [attr], [attr=val], [attr^=val], [attr!=val] (jsoup)
             body = part[1:-1]
-            if "^=" in body:
+            if "!=" in body:
+                # jsoup [attr!=val]: matches when the attribute differs OR
+                # is absent entirely (attr() returns '' for missing)
+                k, v = body.split("!=", 1)
+                v = v.strip("\"'")
+                if el.attrs.get(k.strip(), "") == v:
+                    return False
+            elif "^=" in body:
                 k, v = body.split("^=", 1)
                 v = v.strip("\"'")
                 if not el.attrs.get(k.strip(), "").startswith(v):

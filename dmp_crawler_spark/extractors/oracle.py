@@ -691,6 +691,51 @@ def extract_pcauto_car(url: str, html: str) -> list[dict]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# haodf_article ⇠ Crawler4Haodf.parseExpertArticles (crawler/medcine/
+# Crawler4Haodf.java:62-166): first()-match selectors with per-field
+# sentinel defaults, jsoup [attr!=val] on the pub-time span, a failure-tag
+# accumulator (failedURLs — the reference's only sink besides stdout), and
+# the copy-paste bug where a pub-time miss logs '[No title]' (:109-111).
+
+
+def extract_haodf_article(url: str, html: str) -> list[dict]:
+    root = parse(html)
+    missing: list[str] = []
+
+    def first_text(selector: str, sentinel: str, tag: str) -> str:
+        el = root.select_one(selector)
+        if el is None:
+            missing.append(tag)
+            return sentinel
+        return el.text()
+
+    cat = first_text("div.bg_w.mb20 > p.art_detail_cate", "未知分类", "[No category]")
+    title = first_text("body h1.fn > p", "未知标题", "[No title]")
+    ptime = first_text(
+        "body p.pb20.gray2.tc.pt5.fs span[class!=ml20][class!=tc]",
+        "未知时间", "[No title]",  # reference bug: wrong tag for pub time
+    )
+    writer = first_text(
+        "body p.pb20.gray2.tc.pt5.fs span[class=ml20] a", "未知作者",
+        "[No article writer]",
+    )
+    pv = first_text(
+        "body p.pb20.gray2.tc.pt5.fs span[class=ml20] font", "未知次数",
+        "[No articlePV]",
+    )
+    content = first_text("body div.article_detail", "未知内容", "[No content]")
+    return [{
+        "rowkey": None,  # log-only sink: the reference forms no rowkey
+        "family": "article_log",
+        "cols": {
+            "category": cat, "title": title, "pub_time": ptime,
+            "writer": writer, "pv": pv, "content": content,
+            "missing": ",".join(missing),
+        },
+    }]
+
+
 EXTRACTORS = {
     "auto_config": extract_auto_config,
     "auto_user": extract_auto_user,
@@ -707,6 +752,7 @@ EXTRACTORS = {
     "souhu_car": extract_souhu_car,
     "pcauto_user": extract_pcauto_user,
     "pcauto_car": extract_pcauto_car,
+    "haodf_article": extract_haodf_article,
 }
 
 

@@ -136,3 +136,55 @@ def test_blocked_page_writes_nothing(spark):
     )
     assert art_out.count() == 0
     assert biz_out.count() == 0
+
+
+def test_gpsspg_import_pipeline(spark):
+    """Entry point B (Crawler4Gpsspg): non-empty work filter, length-12
+    gate, C22 split in the URL, JSONP unwrap, status gate, field mapping."""
+    from pyspark.sql import functions as F
+
+    from jobs import gpsspg_import as gp
+
+    work = spark.createDataFrame(
+        [
+            ("360000010771", "i1", "20160801"),   # good
+            ("36000001E77",  "i2", "20160801"),   # length 11 → gated
+            ("",             "i3", "20160801"),   # empty bsid → filtered
+            ("360000010772", "",   "20160801"),   # empty imsi → filtered
+            ("360000010773", "i5", ""),           # empty datetime → filtered
+            ("360000010774", "i6", "20160801"),   # 404 response
+            ("360000010775", "i7", "20160801"),   # garbage response
+            ("360000010771", "i8", "20160801"),   # duplicate bsid → one row
+        ],
+        "bsid string, imsi string, datetime string",
+    )
+    plan = gp.plan_requests(gp.work_query(work))
+    urls = {r["bsid"]: r["url"] for r in plan.collect()}
+    # C22 split visible in the request URL: 3600,0001,0771
+    assert urls["360000010771"] == (
+        "http://api.example.com/bs?bs=460,3600,0001,0771&hex=16&type=cdma"
+    )
+    assert set(urls) == {"360000010771", "360000010774", "360000010775"}
+
+    def fetcher(reqs):
+        resp = {
+            "360000010771": 'jQuery42({"status":200,"result":[{"id":"bsX",'
+                            '"lat":"31.5","lng":"121.2","radius":"80",'
+                            '"address":"地址1","roads":"路1","rid":"r1",'
+                            '"rids":"r1,r2"}]})',
+            "360000010774": 'jQuery42({"status":404})',
+            "360000010775": "banned",
+        }
+        mapping = F.create_map(
+            *[x for k, v in resp.items() for x in (F.lit(k), F.lit(v))]
+        )
+        return reqs.withColumn("payload", F.element_at(mapping, F.col("bsid")))
+
+    rows = gp.run_import(work, fetcher).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rowkey"] == "360000010771" and r["family"] == "info"
+    assert dict(r["cols"]) == {
+        "id": "bsX", "lat": "31.5", "lng": "121.2", "radius": "80",
+        "address": "地址1", "roads": "路1", "rid": "r1", "rids": "r1,r2",
+    }
