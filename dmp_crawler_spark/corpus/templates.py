@@ -229,24 +229,36 @@ def _auto_user(idx: int) -> tuple[str, dict]:
 
 def _bbs_post(idx: int) -> tuple[str, dict]:
     uid = 200000 + idx
-    # yyyy-M-d H:m:s with non-padded fields to exercise C8 normalization
+    # yyyy-M-d H:m:s with non-padded fields to exercise C8 normalization;
+    # every 6th post is from LAST year → the current-year gate drops it
+    # (Crawler4Autohome.java:443-445, CURRENT_YEAR ≙ the corpus epoch year)
+    year = 2015 if idx % 6 == 5 else 2016
     month = 1 + idx % 12
     day = 1 + idx % 28
     hour = idx % 24
     minute = idx % 60
-    date_str = f"2016-{month}-{day} {hour}:{minute}:{idx % 60}"
+    date_str = f"{year}-{month}-{day} {hour}:{minute}:{idx % 60}"
     title = f"帖子标题{idx}"
     content = f"帖子内容 正文第{idx}段。 这是更多的内容文字。"
     bbs_id = f"bbs{idx % 50}"
     bbs_name = f"论坛{idx % 50}"
+    # title div fallback (Crawler4Autohome.java:472-474): div.maxtitle
+    # normally, div.qa-maxtitle on Q&A-style posts
+    title_div = (
+        f'<div class="qa-maxtitle">{title}</div>'
+        if idx % 3 == 1
+        else f'<div class="maxtitle">{title}</div>'
+    )
     html = (
         "<html><body>"
         f'<a id="a_bbsname" href="/{bbs_id}/">{bbs_name}</a>'
-        f'<div class="maxtitle">{title}</div>'
+        f"{title_div}"
         f'<div id="F0" uid="{uid}"><span xname="date">{date_str}</span>'
         f'<div class="conttxt">{content}</div></div>'
         "{LINKS}</body></html>"
     )
+    if year != 2016:
+        return html, {"rows": []}
     compact = (
         f"2016{month:02d}{day:02d}{hour:02d}{minute:02d}{idx % 60:02d}"
     )

@@ -149,11 +149,17 @@ def _compact_datetime(s: str) -> str:
 def extract_bbs_post(url: str, html: str) -> list[dict]:
     root = parse(html)
     date_str = _sel_text(root, "[xname=date]")
+    # current-year gate (Crawler4Autohome.java:443-445) — CURRENT_YEAR is
+    # the deterministic corpus epoch year, never wall-clock
+    if not date_str.startswith("2016"):
+        return []
     uid = _sel_attr(root, "#F0", "uid")
     bbs_el = root.select_one("#a_bbsname")
     bbs_name = bbs_el.text() if bbs_el is not None else ""
     bbs_id = _regexp_extract(bbs_el.attr("href") if bbs_el is not None else "", r"/([^/]+)/")
-    title = _sel_text(root, "div.maxtitle")
+    # title fallback div.maxtitle → div.qa-maxtitle (Crawler4Autohome.java:472-474)
+    div1 = root.select_one("div.maxtitle")
+    title = div1.text() if div1 is not None else _sel_text(root, "div.qa-maxtitle")
     content = _sel_text(root, "div.conttxt")
     post_id = _regexp_extract(url, r"/(\d+)\.html")
     compact = _compact_datetime(date_str)

@@ -125,7 +125,15 @@ class CrawlEngine:
         # salted hot-host admission (north rule): spread a Zipf-hot host's
         # frontier slice over admit_salts tasks before the exact rank
         self.admit_salts = admit_salts
-        self.enrichment = enrichment
+        # one or several enrichment stages (the reference's Jingdong page
+        # does BOTH a price and a comment-count API call per product —
+        # Crawler4Jingdong.java:304-334); stages apply in order
+        if enrichment is None:
+            self.enrichment = []
+        elif isinstance(enrichment, EnrichmentSpec):
+            self.enrichment = [enrichment]
+        else:
+            self.enrichment = list(enrichment)
         os.makedirs(os.path.join(state_dir, "checkpoints"), exist_ok=True)
 
     # ---------------- state paths -------------------------------------
@@ -268,15 +276,15 @@ class CrawlEngine:
             combined = self.spark.read.parquet(cdir)
             fetched = combined.filter(F.col("kind") == "page")
             missed = admitted.join(fetched.select("url"), "url", "left_anti")
-            if self.enrichment is not None:
-                # second fetch pass keyed by the pass-1 entity id; the
+            if self.enrichment:
+                # second fetch pass(es) keyed by the pass-1 entity id; the
                 # enriched copy lands in results/iter=k, which results_df
                 # prefers over this iteration's combined slice
-                enriched = self._enrich(
-                    combined.filter(F.col("kind") == "result").select(
-                        "url", "rowkey", "family", "cols"
-                    )
+                enriched = combined.filter(F.col("kind") == "result").select(
+                    "url", "rowkey", "family", "cols"
                 )
+                for spec in self.enrichment:
+                    enriched = self._enrich(enriched, spec)
                 enriched.write.mode("overwrite").parquet(
                     self._p("results", f"iter={k:06d}")
                 )
@@ -294,8 +302,8 @@ class CrawlEngine:
             results = combined.filter(F.col("kind") == "result").select(
                 "url", "rowkey", "family", "cols"
             )
-            if self.enrichment is not None:
-                results = self._enrich(results)
+            for spec in self.enrichment:
+                results = self._enrich(results, spec)
             results.write.mode("overwrite").parquet(
                 self._p("results", f"iter={k:06d}")
             )
@@ -490,13 +498,12 @@ class CrawlEngine:
         return self.spark.read.parquet(self._p("crawled"))
 
     # ---------------- J4 enrichment fetch (second pass) -----------------
-    def _enrich(self, results: DataFrame) -> DataFrame:
+    def _enrich(self, results: DataFrame, spec: EnrichmentSpec) -> DataFrame:
         """Per-entity secondary fetch merged into the extraction rows
         (Crawler4Jingdong.java:304-331: productNO → price/comment JSONP →
         fields on the same row). Distinct ids only — N rows sharing an
         entity cost one fetch; the merge is a bounded join keyed on the id
         (≤ admitted rows per iteration), never a collect."""
-        spec = self.enrichment
         eid = F.element_at("cols", spec.id_key)
         ids = (
             results.filter(F.col("family") == spec.family)

@@ -43,16 +43,39 @@ def api_table(spark):
     return spark.createDataFrame(rows, "url string, payload string").cache()
 
 
-def _spec(api_table):
-    def fetcher(reqs):
+COMMENT_TEMPLATE = "http://club.example.com/comments?referenceIds=%s"
+
+
+def _comment_payload(code: int) -> str:
+    return (
+        f'jQuery7({{"CommentsCount":[{{"GoodCount":{code % 5000},'
+        f'"PoorCount":{code % 97}}}]}});'
+    )
+
+
+def _specs(spark, api_table):
+    """BOTH Jingdong secondary APIs (price + comment counts,
+    Crawler4Jingdong.java:304-334) as two chained enrichment stages."""
+
+    def price_fetcher(reqs):
         return reqs.join(api_table, "url", "left").select("ent_id", "payload")
 
+    def comment_fetcher(reqs):
+        n = F.col("ent_id").cast("int")
+        payload = F.concat(
+            F.lit('jQuery7({"CommentsCount":[{"GoodCount":'),
+            (n % 5000).cast("string"),
+            F.lit(',"PoorCount":'), (n % 97).cast("string"),
+            F.lit("}]});"),
+        )
+        return reqs.select("ent_id", payload.alias("payload"))
+
     unwrapped = lambda p: S.jsonp_unwrap(p)  # noqa: E731
-    return EnrichmentSpec(
+    price = EnrichmentSpec(
         family="product_info",
         id_key="product_code",
         url_template=API_TEMPLATE,
-        fetcher=fetcher,
+        fetcher=price_fetcher,
         parse={
             # price: 'p' field, 'm' fallback, '' when the API had nothing —
             # parseProductPriceParam (Crawler4Jingdong.java:446-470)
@@ -63,12 +86,26 @@ def _spec(api_table):
             )
         },
     )
+    comments = EnrichmentSpec(
+        family="product_info",
+        id_key="product_code",
+        url_template=COMMENT_TEMPLATE,
+        fetcher=comment_fetcher,
+        parse={
+            "good_count": lambda p: F.get_json_object(
+                unwrapped(p), "$.CommentsCount[0].GoodCount"),
+            "poor_count": lambda p: F.get_json_object(
+                unwrapped(p), "$.CommentsCount[0].PoorCount"),
+        },
+    )
+    return [price, comments]
 
 
 def _run_engine(spark, tmp_path, api_table, fetcher):
     eng = CrawlEngine(
         spark, str(tmp_path), fetcher, generator.generate_site_rules(spark),
-        per_host_budget=6, n_bloom_shards=8, enrichment=_spec(api_table),
+        per_host_budget=6, n_bloom_shards=8,
+        enrichment=_specs(spark, api_table),
     )
     seeds = spark.createDataFrame(
         [(templates.url_for(i * 31 % N, N), "") for i in range(10)],
@@ -90,8 +127,12 @@ def _check_results(results):
             code = int(cols["product_code"])
             exp = "" if code % 7 == 0 else _expected_price(code)
             assert cols["product_price"] == exp, (code, cols)
+            # second enrichment stage (comment-count API) also merged
+            assert cols["good_count"] == str(code % 5000), (code, cols)
+            assert cols["poor_count"] == str(code % 97), (code, cols)
         else:
             assert "product_price" not in cols
+            assert "good_count" not in cols
     assert n_products >= 3
 
 
