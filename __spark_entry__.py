@@ -797,6 +797,35 @@ def crawl_engine_smoke(spark, d):
     return eng.crawled_df().select("url", "host", "depth", "crawl_iter")
 
 
+def c9_locale_parse(spark, d):
+    """C9 locale datetime parse (Crawler4PCAuto.java:655-671,
+    convertTimeString: SimpleDateFormat 'EEE MMM dd HH:mm:ss zzz yyyy' @
+    GMT+8): java.util.Date.toString()-style strings are synthesized from
+    orders, re-parsed with the weekday-stripped pattern (strings.
+    parse_locale_datetime), rendered in UTC; every 7th row is garbage and
+    must come back NULL."""
+    o = _t(spark, d, "orders")
+    key = F.col("o_orderkey")
+    ts2 = F.to_timestamp("o_orderdate") + F.expr(
+        "make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), "
+        "CAST(o_orderkey % 60 AS INT), CAST(o_orderkey % 60 AS DOUBLE))"
+    )
+    raw = F.when(key % 7 == 0, F.lit("not a date")).otherwise(
+        F.concat(
+            F.date_format(ts2, "EEE MMM dd HH:mm:ss"),
+            F.lit(" GMT+08:00 "),
+            F.date_format(ts2, "yyyy"),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        F.date_format(
+            S.parse_locale_datetime(raw), "yyyy-MM-dd HH:mm:ss"
+        ).alias("parsed"),
+    )
+
+
 def gpsspg_bs_import(spark, d):
     """Entry point B (Crawler4Gpsspg.loadAndSave): work scan → length-12
     gate → C22 bsid split → C18 URL → JSONP unwrap → status gate →
@@ -997,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c24_fragment_fold": c24_fragment_fold,
         "s9_search_index": s9_search_index,
         "gpsspg_bs_import": gpsspg_bs_import,
+        "c9_locale_parse": c9_locale_parse,
         # rows-only
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
@@ -1395,6 +1425,31 @@ def oracle_sql() -> dict[str, str]:
                    max(gap) AS max_gap_sec
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        "c9_locale_parse": """
+            WITH t AS (
+                SELECT o_orderkey,
+                       CAST(o_orderdate AS TIMESTAMP)
+                       + (o_orderkey % 24) * INTERVAL 1 HOUR
+                       + (o_orderkey % 60) * INTERVAL 1 MINUTE
+                       + (o_orderkey % 60) * INTERVAL 1 SECOND AS ts2
+                FROM orders
+            ), r AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN 'not a date'
+                            ELSE strftime(ts2, '%a %b %d %H:%M:%S')
+                                 || ' GMT+08:00 ' || strftime(ts2, '%Y')
+                       END AS raw
+                FROM t
+            )
+            SELECT o_orderkey, raw,
+                   strftime(
+                     try_strptime(
+                       replace(regexp_replace(raw, '^[A-Za-z]{3}\\s+', ''),
+                               ' GMT+08:00', ''),
+                       '%b %d %H:%M:%S %Y') - INTERVAL 8 HOUR,
+                     '%Y-%m-%d %H:%M:%S') AS parsed
+            FROM r
         """,
         "gpsspg_bs_import": """
             WITH work AS (
