@@ -99,6 +99,17 @@ def test_embedding_near_pairs_is_bucketed_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_composed_job_queries_stay_jvm_side(spark):
+    """The gpsspg pipeline and the C9 locale parse are pure Column
+    plans — no Python evaluation nodes anywhere."""
+    import __spark_entry__ as entrymod
+
+    for name in ("gpsspg_bs_import", "c9_locale_parse"):
+        df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = inspect.physical_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
 def test_oracle_queries_use_wholestage_codegen(spark):
     import __spark_entry__ as entrymod
 
