@@ -40,8 +40,8 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   dedup_exact_norm    exact dedup on normalized text
   ann_topk / embedding_near_pairs  similarity search
   event_hourly / event_gaps  event-time analytics (streaming batch form)
-Rows-only (non-SQL-expressible): minhash_pairs, simhash_pairs, ngram_jaccard,
-  ivf_topk, multimodal_features, crawl_engine_smoke.
+Rows-only (non-SQL-expressible): crawl_engine_smoke (iterative, stateful,
+  checkpointed) — every other queries() entry has a full DuckDB oracle.
 See COVERAGE.md for the full SURVEY §2 row -> query/test mapping.
 """
 
@@ -701,7 +701,8 @@ def fingerprint_dedup(spark, d):
 
 
 # ---------------------------------------------------------------------------
-# rows-only (non-SQL-expressible) operators
+# LSH / similarity / multimodal operators (oracle-checked against exact
+# DuckDB replays) and the two iterative rows-only smokes
 
 
 def minhash_pairs_q(spark, d):
@@ -766,8 +767,17 @@ def ngram_jaccard_q(spark, d):
 
 
 def multimodal_features_q(spark, d):
+    """Multimodal plumbing: media rows derived deterministically from the
+    sf dir's documents table (doc_id < 64), decode-stubbed feature pass,
+    typed outputs. Reads the harness's parquet so the oracle can replay
+    the same shape from the same table (round-2 verdict item 3)."""
     from dmp_crawler_spark.operators import multimodal as mm
-    media = mm.generate_media(spark, 64)
+    ids = (
+        _t(spark, d, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 64)
+    )
+    media = mm.media_from_ids(ids)
     return mm.extract_features(media).select("media_id", "kind", "n_bytes")
 
 
@@ -1027,12 +1037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_search_index": s9_search_index,
         "gpsspg_bs_import": gpsspg_bs_import,
         "c9_locale_parse": c9_locale_parse,
-        # rows-only
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "ivf_topk": ivf_topk_q,
         "multimodal_features": multimodal_features_q,
+        # rows-only (iterative/stateful — no SQL oracle)
         "crawl_engine_smoke": crawl_engine_smoke,
         "weixin_import_smoke": weixin_import_smoke,
     }
@@ -1605,13 +1615,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
-        # generate_media's deterministic shape re-derived in SQL: kind from
-        # id mod 3, payload is a 64-byte blake2b digest
+        # media_from_ids' deterministic shape re-derived in SQL over the
+        # same source table: kind from doc_id mod 3, payload a 64-byte
+        # blake2b digest
         "multimodal_features": """
-            SELECT i AS media_id,
-                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                               ELSE 'video' END AS kind,
                    64 AS n_bytes
-            FROM range(64) t(i)
+            FROM documents WHERE doc_id < 64
         """,
     }

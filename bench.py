@@ -98,6 +98,12 @@ def run_crawl_bench(spark, tmp_dir: str) -> dict:
     steady = [m for m in metrics[1:]]
     steady_urls = sum(m.get("admitted", 0) for m in steady)
     steady_sec = sum(m.get("elapsed_sec", 0.0) for m in steady)
+    # per-phase totals over the steady iterations: the bisect evidence the
+    # round-2 verdict asked for — which phase of step() the time goes to
+    phase_tot: dict[str, float] = {}
+    for m in steady:
+        for name, sec in m.get("phase_sec", {}).items():
+            phase_tot[name] = round(phase_tot.get(name, 0.0) + sec, 3)
     return {
         "urls_per_sec": round(steady_urls / steady_sec, 2) if steady_sec else 0.0,
         "cold_urls_per_sec": round(crawled / elapsed, 2),
@@ -106,6 +112,7 @@ def run_crawl_bench(spark, tmp_dir: str) -> dict:
         "steady_urls": steady_urls,
         "elapsed_sec": round(elapsed, 2),
         "steady_sec": round(steady_sec, 2),
+        "phase_sec_steady": phase_tot,
     }
 
 

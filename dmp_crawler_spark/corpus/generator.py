@@ -150,8 +150,6 @@ class GeneratorFetcher:
         def gen(batches):
             import pandas as pd
 
-            none_meta = {c: None for c in meta_fields}
-
             for pdf in batches:
                 rows: dict[str, list] = {c: [] for c in meta_fields + extra}
 
@@ -201,10 +199,22 @@ class GeneratorFetcher:
                         emit(meta, "result", rowkey=r["rowkey"],
                              family=r["family"], cols=r["cols"])
 
-                for out_url, (src, d) in link_min_depth.items():
-                    emit({**none_meta, "url": src, "depth": d}, "link",
-                         out_url=out_url)
-                yield pd.DataFrame(rows, columns=meta_fields + extra)
+                base = pd.DataFrame(rows, columns=meta_fields + extra)
+                if not link_min_depth:
+                    yield base
+                    continue
+                # link rows are built column-at-once (~1M rows/iteration at
+                # bench scale — a per-row emit() here costs whole seconds)
+                n_links = len(link_min_depth)
+                link_cols: dict[str, list] = {
+                    c: [None] * n_links for c in meta_fields + extra
+                }
+                link_cols["out_url"] = list(link_min_depth.keys())
+                link_cols["url"] = [s for s, _ in link_min_depth.values()]
+                link_cols["depth"] = [d for _, d in link_min_depth.values()]
+                link_cols["kind"] = ["link"] * n_links
+                links = pd.DataFrame(link_cols, columns=meta_fields + extra)
+                yield pd.concat([base, links], ignore_index=True)
 
         width = self.spark.sparkContext.defaultParallelism
         return admitted.repartition(width, "url").mapInPandas(gen, out_schema)

@@ -250,11 +250,23 @@ def _select_group(root: Element, group: str) -> list[Element]:
 
 
 class _Builder(HTMLParser):
-    def __init__(self) -> None:
+    """Tree builder; with collect_text=True it ALSO accumulates the jsoup
+    Document.text() stream during the same pass (handle_* events arrive in
+    document order, which is exactly the order Element.text() walks), so
+    whole-page text costs zero extra traversals. Byte-parity with
+    Element.text() is asserted in tests/test_extractors.py."""
+
+    def __init__(self, collect_text: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Element("#root")
         self.stack = [self.root]
-        self._raw_stack: list[str] = []  # inside <script>/<style>
+        self._raw_depth = 0  # inside <script>/<style> (jsoup DataNode)
+        self.text_parts: list[str] | None = [] if collect_text else None
+
+    def _text_block_break(self, tag: str) -> None:
+        parts = self.text_parts
+        if (tag in _BLOCK or tag == "br") and parts and not parts[-1].endswith(" "):
+            parts.append(" ")
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
@@ -262,11 +274,18 @@ class _Builder(HTMLParser):
         self.stack[-1].children.append(el)
         if tag not in _VOID:
             self.stack.append(el)
+        if self.text_parts is not None:
+            if tag in ("script", "style"):
+                self._raw_depth += 1
+            elif not self._raw_depth:
+                self._text_block_break(tag)
 
     def handle_startendtag(self, tag, attrs):
         tag = tag.lower()
         el = Element(tag, dict(attrs), parent=self.stack[-1])
         self.stack[-1].children.append(el)
+        if self.text_parts is not None and not self._raw_depth:
+            self._text_block_break(tag)
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -274,18 +293,54 @@ class _Builder(HTMLParser):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
                 break
+        if self.text_parts is not None and tag in ("script", "style"):
+            self._raw_depth = max(0, self._raw_depth - 1)
 
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+            parts = self.text_parts
+            if parts is not None and not self._raw_depth:
+                norm = _WS_RE.sub(" ", data)
+                if norm.startswith(" ") and (not parts or parts[-1].endswith(" ")):
+                    norm = norm[1:]
+                if norm:
+                    parts.append(norm)
+
+
+# One-slot parse memo: the fused fetch pass derives BOTH the stripped-text
+# column and the extracted fields from the same html, and every extractor
+# opens with parse(html) — without the memo each page is DOM-parsed twice
+# (measured 3.2ms build + 2.3ms extract per page; the parse is the bulk of
+# both). Elements are never mutated after _Builder finishes (selectors and
+# text() are read-only), so sharing the tree is safe. The value compare on
+# a hit is a ~µs memcmp vs a ~2ms reparse.
+_MEMO: list = [None, None]  # [html, root]
 
 
 def parse(html: str) -> Element:
+    if html is not None and _MEMO[0] == html:
+        return _MEMO[1]
     b = _Builder()
     b.feed(html or "")
+    _MEMO[0] = html
+    _MEMO[1] = b.root
     return b.root
+
+
+def parse_with_text(html: str) -> tuple[Element, str]:
+    """One pass → (tree, jsoup Document.text()). Populates the parse memo
+    so a following extractor parse(html) reuses the tree."""
+    if html is not None and _MEMO[0] == html:
+        root = _MEMO[1]
+        return root, root.text()
+    b = _Builder(collect_text=True)
+    b.feed(html or "")
+    _MEMO[0] = html
+    _MEMO[1] = b.root
+    return b.root, "".join(b.text_parts).strip()
 
 
 def jsoup_text(html: str) -> str:
     """The byte-identical text contract: jsoup Document.text() of html."""
-    return parse(html).text()
+    return parse_with_text(html)[1]

@@ -114,6 +114,7 @@ class CrawlEngine:
         self.state_dir = state_dir
         self.fetcher = fetcher
         self.site_rules = site_rules.cache()
+        self._rule_rows: list | None = None  # compiled (regex, score) chain
         self.robots = robots
         self.respect_robots = respect_robots
         self.per_host_budget = per_host_budget
@@ -172,6 +173,28 @@ class CrawlEngine:
             return None
         return self.spark.read.parquet(*dirs)
 
+    # ---------------- compiled rule dispatch ----------------------------
+    def rule_score(self) -> F.Column:
+        """max-score-over-matching-rules as ONE literal CASE chain (rules
+        ordered by score desc, so first match = max) — the same compile
+        trick as the F3 taxonomy classifier. Replaces a broadcast
+        nested-loop `url rlike url_regex` join + re-group per iteration:
+        the chain short-circuits per URL, needs no shuffle, and the rule
+        table is O(sites) config data (collect is a tiny one-time job).
+        NULL ⇒ no rule matched (the shouldVisit gate)."""
+        if self._rule_rows is None:
+            rows = self.site_rules.select("url_regex", "score").collect()
+            self._rule_rows = sorted(
+                [(r["url_regex"], float(r["score"])) for r in rows],
+                key=lambda t: -t[1],
+            )
+        chain: F.Column | None = None
+        for rx, score in self._rule_rows:
+            cond = F.col("url").rlike(rx)
+            chain = (F.when(cond, F.lit(score)) if chain is None
+                     else chain.when(cond, F.lit(score)))
+        return F.lit(None).cast("double") if chain is None else chain
+
     # ---------------- init --------------------------------------------
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """Seed expansion (S1, …/common/SeedParser.java:5-31) → frontier v0;
@@ -183,9 +206,7 @@ class CrawlEngine:
         )
         fr = (
             with_url_cols(expanded)
-            .join(F.broadcast(self.site_rules), F.expr("url rlike url_regex"), "left")
-            .groupBy("url", "host", "host_hash")
-            .agg(F.coalesce(F.max("score"), F.lit(0.0)).alias("score"))
+            .withColumn("score", F.coalesce(self.rule_score(), F.lit(0.0)))
             .withColumn("depth", F.lit(0))
             .withColumn("discovery_iter", F.lit(0))
             .withColumn("retry_count", F.lit(0))
@@ -375,9 +396,8 @@ class CrawlEngine:
             )
         candidates = (
             uniq_links
-            .join(F.broadcast(self.site_rules), F.expr("url rlike url_regex"), "inner")
-            .groupBy("url", "parent_depth")
-            .agg(F.max("score").alias("score"))
+            .withColumn("score", self.rule_score())
+            .filter(F.col("score").isNotNull())
             .withColumn("depth", F.col("parent_depth") + 1)
             .drop("parent_depth")
         )

@@ -113,28 +113,40 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
     return cols.mapInPandas(run, FRAME_SCHEMA)
 
 
-def generate_media(spark, n: int, partitions: int = 4) -> DataFrame:
-    """Deterministic synthetic media table for tests (seeded payload bytes)."""
+def _media_row(i: int) -> dict:
+    kind = ["image", "audio", "video"][i % 3]
+    payload = hashlib.blake2b(str(i).encode(), digest_size=64).digest()
+    return {
+        "media_id": i, "kind": kind,
+        "mime": {"image": "image/jpeg", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind],
+        "payload": payload,
+        "meta": {
+            "width": 640 if kind == "image" else None,
+            "height": 480 if kind == "image" else None,
+            "duration_ms": 3000 + (i % 5) * 1000 if kind != "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+        },
+    }
 
+
+def _gen_media(id_col: str):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in pdf["id"].values:
-                i = int(i)
-                kind = ["image", "audio", "video"][i % 3]
-                payload = hashlib.blake2b(str(i).encode(), digest_size=64).digest()
-                rows.append({
-                    "media_id": i, "kind": kind,
-                    "mime": {"image": "image/jpeg", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind],
-                    "payload": payload,
-                    "meta": {
-                        "width": 640 if kind == "image" else None,
-                        "height": 480 if kind == "image" else None,
-                        "duration_ms": 3000 + (i % 5) * 1000 if kind != "image" else None,
-                        "sample_rate": 16000 if kind == "audio" else None,
-                    },
-                })
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([_media_row(int(i)) for i in pdf[id_col].values],
+                               columns=[f.name for f in MEDIA_SCHEMA.fields])
+    return gen
 
-    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+def generate_media(spark, n: int, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table for tests (seeded payload bytes)."""
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        _gen_media("id"), MEDIA_SCHEMA)
+
+
+def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic media rows keyed by an EXISTING id column — lets a
+    harness-replayed query derive its media table from a parquet table
+    (e.g. documents.doc_id) instead of self-generating, so an external
+    oracle can re-derive the identical shape from the same source table."""
+    return ids.select(id_col).mapInPandas(_gen_media(id_col), MEDIA_SCHEMA)
