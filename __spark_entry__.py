@@ -884,6 +884,123 @@ def gpsspg_bs_import(spark, d):
     )
 
 
+def stock_import(spark, d):
+    """Composed runner job: 10jqka stock base-info import
+    (Crawler410jqka.java:73-221): 4-market union → totalPage parse → W3
+    page unroll → API quote parse → per-stock detail enrich (J4) → wide
+    rows. Homepage/API/detail payloads are synthesized deterministically
+    as Column expressions (the per-page stock list keys off the nation
+    table), so DuckDB replays the identical pipeline end-to-end."""
+    from jobs import stock_import as st
+
+    # per-page stock slots from the sf dir's nation table (n_nationkey
+    # 0..24) — O(config) collect, the job's only data-plane input
+    keys = [
+        int(r[0])
+        for r in _t(spark, d, "nation")
+        .select("n_nationkey").orderBy("n_nationkey").collect()
+    ]
+
+    def home_fetcher(m):
+        # '1/N' page_info span content; totalPage = 3 + market index
+        return m.withColumn(
+            "page_info",
+            F.format_string("1/%d", F.col("market_idx") + F.lit(3)),
+        )
+
+    def code(jj):
+        return F.format_string("%d%02d%02d0", F.col("market_idx"), F.col("page"), jj)
+
+    def api_fetcher(pages):
+        arr = F.transform(
+            F.array(*[F.lit(k) for k in keys]),
+            lambda jj: F.struct(
+                code(jj).alias("stockcode"),
+                F.concat(F.lit("id"), code(jj)).alias("stockid"),
+                F.concat(F.lit("股票"), code(jj)).alias("stockname"),
+            ),
+        )
+        return pages.withColumn("payload", F.to_json(F.struct(arr.alias("data"))))
+
+    def detail_fetcher(ids):
+        n = F.col("stockcode").cast("int")
+        html = F.concat(
+            F.lit('<dl class="company_details"><dd>地区'),
+            (n % 30).cast("string"), F.lit("</dd>"),
+            F.when(
+                n % 4 != 0,
+                F.concat(F.lit('<dd title="概念'), (n % 12).cast("string"),
+                         F.lit('">c</dd>')),
+            ).otherwise(F.lit("<dd>无</dd>")),
+            F.lit("</dl>"),
+        )
+        # n % 17 == 0: the detail fetch keeps failing through the
+        # reference's 3 retries → NULL payload → stockplate ''
+        payload = F.when(n % 17 == 0, F.lit(None).cast("string")).otherwise(html)
+        return ids.withColumn("payload", payload)
+
+    rows = st.run_import(spark, home_fetcher, api_fetcher, detail_fetcher)
+    return rows.select(
+        "rowkey",
+        *[F.element_at("cols", f).alias(f)
+          for f in ["stockid", "stockname", "stockplate"]],
+    )
+
+
+def weather_import(spark, d):
+    """Composed runner job: Weather2345 area-code import
+    (Weather2345.java:35-182): JS-array flat-file parse (S6) → token regex
+    → 'a'-prefix strip → parent self-join (J5) → wide rows. The file lines
+    are synthesized deterministically from region (provinces, self-
+    parented) and nation (counties, every even key 'a'-prefixed), so
+    DuckDB replays the identical pipeline."""
+    from jobs import weather_import as wt
+
+    region = _t(spark, d, "region")
+    nation = _t(spark, d, "nation")
+    p_code = F.col("r_regionkey") + 1000
+    ptoken = F.format_string(
+        "%d-A %s-%d", p_code,
+        F.concat(F.lit("省"), F.col("r_regionkey").cast("string")), p_code,
+    )
+    prov_line = region.select(ptoken.alias("t")).agg(
+        F.concat(
+            F.lit("prov[0]='"),
+            F.array_join(F.sort_array(F.collect_list("t")), "|"),
+            F.lit("'"),
+        ).alias("line")
+    )
+    c_num = F.col("n_nationkey") + 2000
+    c_code = F.when(
+        F.col("n_nationkey") % 2 == 0,
+        F.concat(F.lit("a"), c_num.cast("string")),
+    ).otherwise(c_num.cast("string"))
+    ctoken = F.format_string(
+        "%s-B %s-%d", c_code,
+        F.concat(F.lit("县"), F.col("n_nationkey").cast("string")),
+        F.col("n_regionkey") + 1000,
+    )
+    qx_line = (
+        nation.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list(ctoken)), "|").alias("el"))
+        .agg(
+            F.concat(
+                F.lit("provqx[1]=['"),
+                F.array_join(F.sort_array(F.collect_list("el")), "','"),
+                F.lit("']"),
+            ).alias("line")
+        )
+    )
+    junk = spark.createDataFrame([("var other = 1;",)], "line string")
+    lines = prov_line.unionByName(qx_line).unionByName(junk)
+    rows = wt.run_import(lines)
+    return rows.select(
+        "rowkey",
+        *[F.element_at("cols", f).alias(f)
+          for f in ["code", "name", "parent_code", "parent_name", "full_name"]],
+    )
+
+
 def s9_search_index(spark, d):
     """S9 Solr-sink analog: build the (term, id, tf) posting table over
     documents and run a ranked term-match search ('hash join scan') —
@@ -943,46 +1060,86 @@ def c24_fragment_fold(spark, d):
 
 
 def weixin_import_smoke(spark, d):
-    """Entry point C: the composed weixin import job (work scan → anti-join
-    + inverted-expiry → template fetch → selector extract → merge sink) on
-    a deterministic inline fixture. Rows-only: the pipeline is a multi-
-    stage job with a Python fetch/extract stage, not one SQL query; its
-    semantics are pinned by tests/test_weixin_job.py."""
+    """Entry point C, now whole-pipeline oracle-checked (round-2 verdict
+    item 4): work scan (date/partition filters, GROUP BY dedup, %3D
+    URL-decode AFTER dedup) → art anti-join + INVERTED biz-expiry gate
+    (the WXEntityImporter.java:130-139 quirk) → template fetch → selector
+    extract (empty-code pages gated out) → merge sink, on fixtures derived
+    deterministically from the sf dir's part table. The output exposes the
+    SQL-derivable fields (rowkey + article_content, which embeds the raw
+    seed); the _mix-derived page fields are pinned by
+    tests/test_weixin_job.py instead."""
     from datetime import datetime, timezone
 
     from dmp_crawler_spark.corpus.templates import build_weixin_page
     from jobs import weixin_import as wx
 
-    weixin = spark.createDataFrame(
-        [(f"b{i % 7}", f"m{i % 5}", str(i % 3), f"s{i}", "20160830120000", "src")
-         for i in range(40)],
-        "biz string, mid string, idx string, sn string, data_time string, partition_source string",
+    part = _t(spark, d, "part").filter(F.col("p_partkey") <= 40)
+    i = F.col("p_partkey")
+    biz = F.concat(
+        F.lit("b"), (i % 3).cast("string"),
+        F.when(i % 10 == 0, F.lit("%3D")).otherwise(F.lit("")),
+    )
+    weixin = part.select(
+        biz.alias("biz"),
+        F.concat(F.lit("m"), (i % 4).cast("string")).alias("mid"),
+        (i % 2).cast("string").alias("idx"),
+        F.concat(F.lit("s"), (i % 2).cast("string")).alias("sn"),
+        F.when(i % 11 == 0, F.lit("20150101000000"))
+        .otherwise(F.lit("20160830120000")).alias("data_time"),
+        F.when(i % 13 == 0, F.lit("other")).otherwise(F.lit("src"))
+        .alias("partition_source"),
+    )
+    # existing-article rows (J1 anti-join fixture): plain-biz rowkeys
+    art_seen = part.filter(i % 8 == 5).select(
+        F.concat_ws(
+            "_",
+            F.concat(F.lit("b"), (i % 3).cast("string")),
+            F.concat(F.lit("m"), (i % 4).cast("string")),
+            (i % 2).cast("string"),
+            F.concat(F.lit("s"), (i % 2).cast("string")),
+        ).alias("rowkey")
+    ).distinct()
+    # biz table: b1 fresh (NOT expired ⇒ re-crawl, the inverted gate),
+    # b2 stale (expired ⇒ skipped)
+    biz_table = spark.createDataFrame(
+        [("b1", datetime(2016, 8, 20)), ("b2", datetime(2016, 2, 1))],
+        "rowkey string, updated_ts timestamp",
     )
 
     def fetcher(plan):
         from pyspark.sql import types as T
 
         def run(batches):
-            import pandas as pd
             for pdf in batches:
                 pdf = pdf.copy()
                 pdf["html"] = [
-                    build_weixin_page(b, m, i, s)
-                    for b, m, i, s in zip(pdf["biz"], pdf["mid"], pdf["idx"], pdf["sn"])
+                    # m2/s0 pages are blocked placeholders: weixin_code ''
+                    build_weixin_page(b, m, ix, s,
+                                      empty_code=(m == "m2" and s == "s0"))
+                    for b, m, ix, s in zip(pdf["biz"], pdf["mid"],
+                                           pdf["idx"], pdf["sn"])
                 ]
                 yield pdf
 
         schema = T.StructType(plan.schema.fields + [T.StructField("html", T.StringType())])
         return plan.mapInPandas(run, schema)
 
-    art, _biz = wx.run_import(
+    art, biz_out = wx.run_import(
         spark, weixin, fetcher, "201608", "src",
         datetime(2016, 9, 1, tzinfo=timezone.utc),
+        art_table=art_seen, biz_table=biz_table,
     )
     return art.select(
+        F.lit("art").alias("tbl"),
         "rowkey",
-        F.element_at("cols", "article_title").alias("article_title"),
-        F.element_at("cols", "account_code").alias("account_code"),
+        F.element_at("cols", "article_content").alias("val"),
+    ).unionByName(
+        biz_out.select(
+            F.lit("biz").alias("tbl"),
+            "rowkey",
+            F.element_at("cols", "biz").alias("val"),
+        )
     )
 
 
@@ -1036,15 +1193,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c24_fragment_fold": c24_fragment_fold,
         "s9_search_index": s9_search_index,
         "gpsspg_bs_import": gpsspg_bs_import,
+        "stock_import": stock_import,
+        "weather_import": weather_import,
         "c9_locale_parse": c9_locale_parse,
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "ivf_topk": ivf_topk_q,
         "multimodal_features": multimodal_features_q,
+        "weixin_import_smoke": weixin_import_smoke,
         # rows-only (iterative/stateful — no SQL oracle)
         "crawl_engine_smoke": crawl_engine_smoke,
-        "weixin_import_smoke": weixin_import_smoke,
     }
 
 
@@ -1504,6 +1663,113 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(j, '$.result[0].rids') AS rids
             FROM js
             WHERE j != '' AND json_extract_string(j, '$.status') = '200'
+        """,
+        # 10jqka import replay: markets/pages are the job's static config;
+        # the parsed quote rows and the detail-page plate parse are
+        # re-derived from the same deterministic formulas (payload-build ∘
+        # parse = identity, as in gpsspg_bs_import)
+        "stock_import": """
+            WITH markets AS (
+                SELECT CAST(i AS INT) AS market_idx FROM range(4) t(i)
+            ), pages AS (
+                SELECT market_idx, CAST(unnest(generate_series(1, 3 + market_idx)) AS INT) AS page
+                FROM markets
+            ), stocks AS (
+                SELECT printf('%d%02d%02d0', market_idx, page, n_nationkey) AS stockcode
+                FROM pages CROSS JOIN nation
+            ), enr AS (
+                SELECT stockcode, CAST(stockcode AS INT) AS n FROM stocks
+            )
+            SELECT '00150107_' || stockcode AS rowkey,
+                   'id' || stockcode AS stockid,
+                   '股票' || stockcode AS stockname,
+                   CASE WHEN n % 17 = 0 THEN ''
+                        ELSE '地区' || CAST(n % 30 AS VARCHAR) || '板块'
+                             || CASE WHEN n % 4 <> 0
+                                     THEN ',概念' || CAST(n % 12 AS VARCHAR)
+                                     ELSE '' END
+                   END AS stockplate
+            FROM enr
+        """,
+        # weixin import replay: same part-derived fixture, same gates —
+        # date/partition filters, GROUP BY dedup on the RAW rows, %3D
+        # decode AFTER dedup, art anti-join, the INVERTED biz-expiry gate
+        # (b1 fresh ⇒ re-crawl, b2 expired ⇒ skip), empty-code page gate,
+        # merge collapse for the biz table
+        "weixin_import_smoke": """
+            WITH base AS (
+                SELECT p_partkey AS i FROM part WHERE p_partkey <= 40
+            ), raw AS (
+                SELECT 'b' || CAST(i % 3 AS VARCHAR)
+                           || CASE WHEN i % 10 = 0 THEN '%3D' ELSE '' END AS biz,
+                       'm' || CAST(i % 4 AS VARCHAR) AS mid,
+                       CAST(i % 2 AS VARCHAR) AS idx,
+                       's' || CAST(i % 2 AS VARCHAR) AS sn
+                FROM base WHERE i % 11 <> 0 AND i % 13 <> 0
+            ), work AS (
+                SELECT DISTINCT biz, mid, idx, sn FROM raw
+            ), dec AS (
+                SELECT CASE WHEN contains(upper(biz), '%3D')
+                            THEN replace(biz, '%3D', '=') ELSE biz END AS biz,
+                       mid, idx, sn
+                FROM work
+            ), art_seen AS (
+                SELECT DISTINCT
+                       'b' || CAST(i % 3 AS VARCHAR) || '_m' || CAST(i % 4 AS VARCHAR)
+                           || '_' || CAST(i % 2 AS VARCHAR)
+                           || '_s' || CAST(i % 2 AS VARCHAR) AS rowkey
+                FROM base WHERE i % 8 = 5
+            ), flags AS (
+                SELECT d.biz, d.mid, d.idx, d.sn,
+                       d.biz || '_' || d.mid || '_' || d.idx || '_' || d.sn AS rowkey,
+                       (a.rowkey IS NULL) AS need_art,
+                       (d.biz <> 'b2') AS need_biz
+                FROM dec d
+                LEFT JOIN art_seen a
+                  ON d.biz || '_' || d.mid || '_' || d.idx || '_' || d.sn = a.rowkey
+            ), extracted AS (
+                SELECT *,
+                       NOT (mid = 'm2' AND sn = 's0') AS has_code,
+                       '正文' || biz || ':' || mid || ':' || idx || ':' || sn
+                           || '内容。' AS content
+                FROM flags WHERE need_art OR need_biz
+            )
+            SELECT 'art' AS tbl, rowkey, content AS val
+            FROM extracted WHERE has_code AND need_art
+            UNION ALL
+            SELECT DISTINCT 'biz' AS tbl, biz AS rowkey, biz AS val
+            FROM extracted WHERE has_code AND need_biz
+        """,
+        # Weather2345 replay: provinces from region (self-parented),
+        # counties from nation ('a' prefix already stripped by the parse);
+        # parent self-join + full_name prefix rule
+        "weather_import": """
+            WITH prov AS (
+                SELECT CAST(1000 + r_regionkey AS VARCHAR) AS code,
+                       '省' || CAST(r_regionkey AS VARCHAR) AS name,
+                       CAST(1000 + r_regionkey AS VARCHAR) AS parent_code
+                FROM region
+            ), county AS (
+                SELECT CAST(2000 + n_nationkey AS VARCHAR) AS code,
+                       '县' || CAST(n_nationkey AS VARCHAR) AS name,
+                       CAST(1000 + n_regionkey AS VARCHAR) AS parent_code
+                FROM nation
+            ), areas AS (
+                SELECT * FROM prov UNION ALL SELECT * FROM county
+            ), joined AS (
+                SELECT a.code, a.name, a.parent_code,
+                       CASE WHEN a.code = a.parent_code THEN a.name
+                            ELSE p.name END AS parent_name
+                FROM areas a
+                LEFT JOIN areas p
+                  ON a.parent_code = p.code AND a.code <> a.parent_code
+            )
+            SELECT '00050011_' || code AS rowkey, code, name, parent_code,
+                   parent_name,
+                   CASE WHEN name <> parent_name
+                        THEN parent_name || ',' || name
+                        ELSE name END AS full_name
+            FROM joined
         """,
         "s9_search_index": """
             WITH toks AS (

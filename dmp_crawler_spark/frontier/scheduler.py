@@ -291,9 +291,13 @@ class CrawlEngine:
             # column scans (kind is a directory partition), and the engine
             # never holds millions of extraction rows on-heap.
             cdir = self._p("combined", f"iter={k:06d}")
+            # zstd, not snappy: kind=page (the text landing) is ~97% of the
+            # spill's bytes and the single biggest I/O in the loop — zstd
+            # cuts it ~35% for sub-ms/page extra CPU, and the writeback of
+            # this dir is what stalls the NEXT phase's writes on one disk
             self.fetcher.fetch_extract(admitted).write.mode(
                 "overwrite"
-            ).partitionBy("kind").parquet(cdir)
+            ).option("compression", "zstd").partitionBy("kind").parquet(cdir)
             combined = self.spark.read.parquet(cdir)
             fetched = combined.filter(F.col("kind") == "page")
             missed = admitted.join(fetched.select("url"), "url", "left_anti")

@@ -19,10 +19,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import threading
+
 from dmp_crawler_spark.functions.textstats import doc_fingerprint, shingles
 
-# last cached minhash-signature DataFrame, evicted on the next call
-_LAST_SIG_CACHE: DataFrame | None = None
+# last cached minhash-signature DataFrame PER SparkSession, evicted on the
+# next call from the same session (ADVICE r02: a single module global let
+# one session's call unpersist a cache another session still used, and
+# pinned a DataFrame of a possibly-stopped session)
+_SIG_CACHE: dict[int, DataFrame] = {}
+_SIG_CACHE_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -121,15 +127,19 @@ def minhash_lsh_pairs(
     # new plan is semantically identical, in which case Spark's cache
     # manager shares one entry and unpersisting the old handle would evict
     # the data the new call is about to reuse (e.g. ngram_jaccard_pairs
-    # right after minhash_lsh_pairs with the same params)
-    global _LAST_SIG_CACHE
-    if _LAST_SIG_CACHE is not None:
-        try:
-            if not sig.sameSemantics(_LAST_SIG_CACHE):
-                _LAST_SIG_CACHE.unpersist(blocking=False)
-        except Exception:
-            pass
-    _LAST_SIG_CACHE = sig
+    # right after minhash_lsh_pairs with the same params). Keyed by
+    # session and lock-guarded so concurrent sessions never evict each
+    # other's cache (ADVICE r02).
+    skey = id(docs.sparkSession)
+    with _SIG_CACHE_LOCK:
+        prev = _SIG_CACHE.get(skey)
+        if prev is not None:
+            try:
+                if not sig.sameSemantics(prev):
+                    prev.unpersist(blocking=False)
+            except Exception:
+                pass
+        _SIG_CACHE[skey] = sig
     banded = sig.select(
         "id",
         F.explode(
@@ -307,6 +317,23 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
     return _cosine(a, b)
 
 
+def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    """The sign-LSH hyperplane matrix, computed in PURE PYTHON via the
+    driver-side xxhash64 replica (functions/pyhash.py) — no Spark job at
+    plan-build time, so the operator is a lazy plan builder again and
+    works on streaming DataFrames (ADVICE r02). Values are bit-identical
+    to the old in-plan expression
+    `(xxhash64(cast(i as string), p) % 1000) / 500.0 - 1.0`
+    (Java % keeps the dividend's sign; parity-tested)."""
+    from dmp_crawler_spark.functions.pyhash import java_rem, spark_xxhash64
+
+    return [
+        [java_rem(spark_xxhash64(str(i), p), 1000) / 500.0 - 1.0
+         for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -314,39 +341,23 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     bands: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors: sign-LSH buckets then exact cosine.
 
-    The hyperplane matrix (n_planes × dim pseudo-random components,
-    xxhash64(dim_index, plane) mapped to [-1, 1]) is evaluated ONCE on a
-    tiny driver-side job and embedded as literal arrays, replacing the
-    per-row recomputation of n_planes × dim hash expressions (3,072
-    hashes/row at 48 planes × 64 dims). Measured honestly: at sf0.01
-    (500 rows) wall time is a WASH (~50 s either way — whole-stage codegen
-    of the 48 fold expressions dominates, and that cost amortizes over
-    data volume); the saving is per-row arithmetic, which is what matters
-    once rows ≫ codegen cost. Hash values, and therefore buckets and
-    results, are bit-identical to the per-row form. Vectors are assumed
-    fixed-dim (inferred from the first row)."""
+    Plan shape (round-2 verdict item 5): the banded self-join carries ONLY
+    (id, band, bucket) — embeddings would otherwise be duplicated `bands`×
+    on both sides of the shuffle; vectors are re-attached to the (tiny)
+    surviving distinct pair set, the same pattern as minhash_lsh_pairs.
+
+    `dim` is the vector dimensionality; when omitted it is inferred with a
+    .first() job (convenience for fixed-dim batch inputs — pass it
+    explicitly for streaming sources or mixed-prefix data)."""
     rows_per_band = n_planes // bands
-    spark = emb.sparkSession
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row is not None else 0
-    plane_vals = (
-        spark.range(dim * n_planes)
-        .select(
-            (F.col("id") % dim).cast("int").alias("i"),
-            (F.col("id") / dim).cast("int").alias("p"),
-        )
-        .select(
-            "i", "p",
-            ((F.xxhash64(F.col("i").cast("string"), F.col("p")) % 1000) / 500.0 - 1.0).alias("w"),
-        )
-        .collect()
-    )
-    planes: list[list[float]] = [[0.0] * dim for _ in range(n_planes)]
-    for r in plane_vals:
-        planes[r["p"]][r["i"]] = r["w"]
+    if dim is None:
+        dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row is not None else 0
+    planes = hyperplane_weights(dim, n_planes)
 
     def plane_dot(p: int) -> Column:
         w = F.array(*[F.lit(x) for x in planes[p]])
@@ -357,11 +368,10 @@ def embedding_near_dup_pairs(
 
     bits = [F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in range(n_planes)]
     sig = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        F.array(*bits).alias("bits"),
+        F.col(id_col).alias("id"), F.array(*bits).alias("bits")
     )
     banded = sig.select(
-        "id", "vec",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -371,16 +381,22 @@ def embedding_near_dup_pairs(
                 ]).alias("bucket"),
             ) for b in range(bands)
         ])).alias("bk"),
-    ).select("id", "vec", "bk.band", "bk.bucket")
+    ).select("id", "bk.band", "bk.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            _cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )

@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill files are transient — put them on fast local storage
+    # (tmpfs here; local NVMe on a real cluster) so shuffle I/O doesn't
+    # contend with durable parquet writes on the data disk. The crawl
+    # loop's page-landing write (~300 MB/iteration at bench scale) and the
+    # link shuffle otherwise serialize behind one another's writeback.
+    if os.path.isdir("/dev/shm") and os.environ.get("SPARK_GRAFT_SHM", "1") == "1":
+        shm_dir = "/dev/shm/spark_local"
+        os.makedirs(shm_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -80,6 +80,71 @@ def test_embedding_near_dup(embeddings):
     # vectors i and i+24 (same angle, same i%3) are identical
     assert (0, 24) in got
     assert all(a % 8 == b % 8 for a, b in got)
+    # explicit dim must not change results (and skips the .first() job)
+    explicit = dedup.embedding_near_dup_pairs(embeddings, threshold=0.999, dim=4)
+    assert {(r["id_a"], r["id_b"]) for r in explicit.collect()} == got
+
+
+def test_embedding_lsh_join_carries_no_vectors(embeddings):
+    """Verdict r02 item 5: the banded self-join must not shuffle the
+    embedding arrays — both join inputs project to (id, band, bucket)
+    only; vectors re-attach to the surviving pair set afterwards."""
+    import re
+
+    df = dedup.embedding_near_dup_pairs(embeddings, threshold=0.999)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the band-bucket join's inputs are bare (id, band, bucket) projections
+    assert re.search(
+        r"Project \[id#\d+L?, bk#\d+\.band AS band#\d+, bk#\d+\.bucket AS bucket#\d+\]",
+        plan,
+    ), plan
+    # and no join CONDITION references the embedding payload
+    for line in plan.splitlines():
+        if "Join" in line and "band" in line:
+            assert "embedding" not in line and "vec" not in line, line
+
+
+def test_pyhash_matches_spark_xxhash64(spark):
+    """Driver-side xxhash64 replica (functions/pyhash.py) is bit-identical
+    to the in-plan expression for the (string, int) pattern the LSH
+    hyperplanes use, and for plain strings/longs."""
+    from dmp_crawler_spark.functions import pyhash
+
+    rows = [(str(i), i * 7 - 3) for i in range(0, 200, 7)]
+    rows += [("", 0), ("a" * 40, 5), ("汉字测试内容超过三十二字节的字符串啊", -9)]
+    df = spark.createDataFrame(rows, "s string, p int")
+    got = df.select(
+        "s", "p",
+        F.xxhash64("s", "p").alias("h_si"),
+        F.xxhash64("s").alias("h_s"),
+        F.xxhash64(F.col("p").cast("long")).alias("h_l"),
+    ).collect()
+    for r in got:
+        assert pyhash.spark_xxhash64(r["s"], r["p"]) == r["h_si"]
+        assert pyhash.spark_xxhash64(r["s"]) == r["h_s"]
+        assert pyhash.spark_xxhash64_long(r["p"]) == r["h_l"]
+
+
+def test_hyperplane_weights_match_plan_expression(spark):
+    """hyperplane_weights (pure Python) == the old Spark-job expression."""
+    dim, n_planes = 16, 6
+    want = {
+        (r["p"], r["i"]): r["w"]
+        for r in spark.range(dim * n_planes)
+        .select(
+            (F.col("id") % dim).cast("int").alias("i"),
+            (F.col("id") / dim).cast("int").alias("p"),
+        )
+        .select(
+            "i", "p",
+            ((F.xxhash64(F.col("i").cast("string"), F.col("p")) % 1000) / 500.0 - 1.0).alias("w"),
+        )
+        .collect()
+    }
+    planes = dedup.hyperplane_weights(dim, n_planes)
+    for p in range(n_planes):
+        for i in range(dim):
+            assert planes[p][i] == want[(p, i)], (p, i)
 
 
 def test_brute_force_topk(spark, embeddings):
