@@ -253,14 +253,63 @@ def prefilter(candidates: DataFrame, manifest_path: str | None) -> DataFrame:
 
 
 def dedup_candidates(candidates: DataFrame, seen: DataFrame | None,
-                     manifest_path: str | None) -> DataFrame:
+                     manifest_path: str | None,
+                     n_shards: int | None = None) -> DataFrame:
     """Full J1 dedup (…/social/worker/WXEntityImporter.java:105-144 semantics,
-    engine-scale plan): bloom prefilter → exact left_anti on url for the
-    maybe-seen slice → union with the definitely-new slice."""
+    engine-scale plan): bloom prefilter → exact left_anti for the
+    maybe-seen slice → union with the definitely-new slice.
+
+    100×-scale plan (round-2 verdict item 2): when both sides carry the
+    128-bit fingerprint (url_hash, url_hash2 — two independent xxhash64
+    seeds), the anti-join keys on the two LONGS, so the seen side shuffles
+    16 B/row instead of full URL strings. A 128-bit fingerprint makes a
+    string tie-break unnecessary: at 10^10 URLs the probability of ANY
+    colliding pair across the whole crawl is (10^10)^2 / 2^129 ≈ 1.5e-19 —
+    orders of magnitude below hardware corruption rates (a string
+    tie-break would force either the url column through the seen-side
+    shuffle or a second pass over seen, paying the exact cost the hash key
+    exists to avoid). The seen scan is additionally PRUNED to the shard
+    directories (pmod(host_hash, n_shards), the bloom sharding key) that
+    the bloom-positive candidates actually touch — hosts hash to one
+    shard, so an iteration crawling few hosts reads few shards.
+
+    Falls back to the legacy url-string join when either side lacks the
+    fingerprint columns (plain-url seen tables in tests/tools)."""
     tagged = prefilter(candidates, manifest_path)
     if seen is None:
         return tagged.drop("maybe_seen")
+    hash_keyed = (
+        {"url_hash", "url_hash2"} <= set(seen.columns)
+        and {"url_hash", "url_hash2"} <= set(candidates.columns)
+    )
+    if not hash_keyed:
+        definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        survived = maybe.join(seen.select("url"), "url", "left_anti")
+        return definitely_new.unionByName(survived)
+    # materialize the tagged candidates once: the shard-set collect below
+    # and the two downstream branches (definitely-new, maybe-seen) all
+    # reuse it instead of recomputing the link-discovery + rules pipeline
+    tagged = tagged.persist()
     definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survived = maybe.join(seen.select("url"), "url", "left_anti")
-    return definitely_new.unionByName(survived)
+    if n_shards and "shard" in seen.columns:
+        shards = [
+            int(r[0])
+            for r in maybe.select(
+                F.pmod("host_hash", F.lit(n_shards)).cast("int")
+            ).distinct().collect()
+        ]
+        # shard is a directory partition column: this filter prunes whole
+        # seen subdirectories at scan planning time
+        seen = seen.filter(F.col("shard").isin(shards or [-1]))
+    survived = maybe.join(
+        seen.select("url_hash", "url_hash2"),
+        ["url_hash", "url_hash2"],
+        "left_anti",
+    )
+    out = definitely_new.unionByName(survived)
+    # the caller owns the cache lifetime: unpersist after the plan is
+    # consumed (CrawlEngine.step does this after the frontier write)
+    out._dedup_cache = tagged
+    return out

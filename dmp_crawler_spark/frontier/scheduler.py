@@ -51,6 +51,14 @@ FRONTIER_COLS = [
     "url", "host", "host_hash", "depth", "discovery_iter", "score", "retry_count",
 ]
 
+# explicit schema for seen-dir reads: an iteration that discovers no new
+# URLs writes an empty partitioned dir (no parquet footers), which would
+# otherwise fail schema inference
+SEEN_SCHEMA = (
+    "url string, url_hash long, url_hash2 long, host_hash long, "
+    "scheduled_iter int, shard int"
+)
+
 
 class EnrichmentSpec:
     """J4 as a crawl stage: per-entity secondary API fetch merged into the
@@ -109,6 +117,7 @@ class CrawlEngine:
         bloom_expected_per_shard: int = 1 << 16,
         admit_salts: int | None = None,
         enrichment: EnrichmentSpec | None = None,
+        compact_seen_every: int = 8,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -126,6 +135,11 @@ class CrawlEngine:
         # salted hot-host admission (north rule): spread a Zipf-hot host's
         # frontier slice over admit_salts tasks before the exact rank
         self.admit_salts = admit_salts
+        # fold the per-iteration seen tail into one shard-partitioned
+        # baseline every N iterations so the anti-join plan reads a bounded
+        # dir list (≤ N+1) instead of one dir per iteration ever crawled;
+        # 0 disables compaction
+        self.compact_seen_every = compact_seen_every
         # one or several enrichment stages (the reference's Jingdong page
         # does BOTH a price and a comment-count API call per product —
         # Crawler4Jingdong.java:304-334); stages apply in order
@@ -163,15 +177,39 @@ class CrawlEngine:
     def frontier_df(self, k: int) -> DataFrame:
         return self.spark.read.parquet(self._p("frontier", f"v{k:06d}"))
 
-    def seen_df(self, upto_iter: int) -> DataFrame | None:
-        dirs = [
+    def _seen_dirs(self, upto_iter: int, compact: dict | None = None) -> list[str]:
+        """Directories making up the seen set through upto_iter: the last
+        compaction baseline (if any) plus the per-iteration tail written
+        since it. Bounded by compact_seen_every + 1 — the per-iteration
+        plan never grows with crawl age (round-2 verdict item 8)."""
+        start = 0
+        dirs: list[str] = []
+        if compact:
+            dirs.append(compact["path"])
+            start = compact["upto"] + 1
+        dirs += [
             self._p("seen", f"iter={i:06d}")
-            for i in range(upto_iter + 1)
+            for i in range(start, upto_iter + 1)
             if os.path.exists(self._p("seen", f"iter={i:06d}"))
         ]
+        return dirs
+
+    def seen_df(self, upto_iter: int, compact: dict | None = None) -> DataFrame | None:
+        dirs = self._seen_dirs(upto_iter, compact)
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        # one read per dir, each with its own basePath: every seen dir is
+        # internally hive-partitioned by shard, and a multi-root read would
+        # otherwise fail partition discovery (the union is over a BOUNDED
+        # dir list — see _seen_dirs)
+        dfs = [
+            self.spark.read.schema(SEEN_SCHEMA).option("basePath", d).parquet(d)
+            for d in dirs
+        ]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     # ---------------- compiled rule dispatch ----------------------------
     def rule_score(self) -> F.Column:
@@ -218,7 +256,9 @@ class CrawlEngine:
         manifest = None
         if self.use_bloom:
             manifest = bloom.merge_shards(
-                self.spark.read.parquet(self._p("seen", "iter=000000")),
+                self.spark.read.schema(SEEN_SCHEMA).parquet(
+                    self._p("seen", "iter=000000")
+                ),
                 None, self._p("bloom", "v000000"), self.n_bloom_shards,
                 expected_per_shard=self.bloom_expected_per_shard,
             )
@@ -226,20 +266,34 @@ class CrawlEngine:
             "iter": 0,
             "frontier": self._p("frontier", "v000000"),
             "seen_upto": 0,
+            "seen_compact": None,
             "bloom_manifest": manifest,
+            "bloom_expected": self.bloom_expected_per_shard,
             "pages_crawled_total": 0,
             "metrics": {"frontier_size": fr_w.count()},
         })
 
     def _write_seen(self, df: DataFrame, k: int) -> None:
+        """Seen rows carry a 128-bit fingerprint (two independent xxhash64
+        columns) so the J1 anti-join keys on longs, never url strings, and
+        land bucketed by the bloom shard (pmod(host_hash, n_shards) as a
+        directory partition) so the anti-join's seen scan prunes to the
+        shards the candidates touch. One file per shard per iteration (the
+        repartition): at 10^10 URLs this is the Iceberg table's bucket
+        spec; here it is plain hive-style directory partitioning."""
         (
             df.select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
+                F.xxhash64("url", F.lit(1)).alias("url_hash2"),
                 "host_hash",
                 F.lit(k).alias("scheduled_iter"),
+                F.pmod("host_hash", F.lit(self.n_bloom_shards))
+                .cast("int").alias("shard"),
             )
+            .repartition(self.n_bloom_shards, "shard")
             .write.mode("overwrite")
+            .partitionBy("shard")
             .parquet(self._p("seen", f"iter={k:06d}"))
         )
 
@@ -405,14 +459,22 @@ class CrawlEngine:
             .withColumn("depth", F.col("parent_depth") + 1)
             .drop("parent_depth")
         )
-        candidates = with_url_cols(candidates).withColumn(
-            "url_hash", F.xxhash64("url")
+        candidates = (
+            with_url_cols(candidates)
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("url_hash2", F.xxhash64("url", F.lit(1)))
         )
 
-        # J1 dedup vs seen (schedule-time semantics): bloom prefilter + anti-join
-        seen = self.seen_df(ck["iter"])
+        # J1 dedup vs seen (schedule-time semantics): bloom prefilter +
+        # 128-bit-hash anti-join against the shard-pruned seen scan
+        compact = ck.get("seen_compact")
+        seen = self.seen_df(ck["iter"], compact)
+        deduped = bloom.dedup_candidates(
+            candidates, seen, ck.get("bloom_manifest"),
+            n_shards=self.n_bloom_shards,
+        )
         new_entries = (
-            bloom.dedup_candidates(candidates, seen, ck.get("bloom_manifest"))
+            deduped
             .withColumn("discovery_iter", F.lit(k))
             .withColumn("retry_count", F.lit(0))
             .select(*FRONTIER_COLS)
@@ -431,6 +493,9 @@ class CrawlEngine:
         # metrics read-back (a tiny collect) below.
         fdir = self._p("frontier", f"v{k:06d}")
         new_frontier.write.mode("overwrite").parquet(fdir)
+        dedup_cache = getattr(deduped, "_dedup_cache", None)
+        if dedup_cache is not None:
+            dedup_cache.unpersist(blocking=False)
         _mark("frontier_write")
 
         new_frontier_w = self.spark.read.parquet(fdir)
@@ -440,16 +505,59 @@ class CrawlEngine:
         self._write_seen(new_w.select("url", "host_hash"), k)
         _mark("seen_write")
 
+        # periodic seen compaction: fold the baseline + tail into one
+        # shard-partitioned dir so the anti-join's source list stays
+        # bounded (the "10^5 parquet dirs in every plan" failure mode).
+        # Committed via the checkpoint below — a crash mid-rewrite leaves
+        # an orphan dir and the next compaction simply redoes it.
+        if self.compact_seen_every:
+            n_tail = len(self._seen_dirs(k, compact)) - (1 if compact else 0)
+            if n_tail >= self.compact_seen_every:
+                cpath = self._p("seen", f"compact_{k:06d}")
+                (
+                    self.seen_df(k, compact)
+                    .repartition(self.n_bloom_shards, "shard")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(cpath)
+                )
+                compact = {"path": cpath, "upto": k}
+                _mark("seen_compact")
+
         # incremental bloom: O(new rows), OR-merged into the prior shards
         manifest = ck.get("bloom_manifest")
+        bloom_expected = ck.get("bloom_expected", self.bloom_expected_per_shard)
         if self.use_bloom:
             manifest = bloom.merge_shards(
-                self.spark.read.parquet(self._p("seen", f"iter={k:06d}")),
+                self.spark.read.schema(SEEN_SCHEMA).parquet(
+                    self._p("seen", f"iter={k:06d}")
+                ),
                 ck.get("bloom_manifest"),
                 self._p("bloom", f"v{k:06d}"),
                 self.n_bloom_shards,
-                expected_per_shard=self.bloom_expected_per_shard,
+                expected_per_shard=bloom_expected,
             )
+            # full-rebuild trigger (promised by merge_shards' contract):
+            # once any shard holds more items than the merge-time sizing
+            # assumed, its FP rate is past nominal — rebuild every shard
+            # from the exact seen set at the next power-of-two size and
+            # carry the new size forward in the checkpoint so later merges
+            # stay m/k-compatible.
+            with open(manifest) as mf:
+                man = json.load(mf)
+            max_items = max(
+                (s["n_items"] for s in man["shards"].values()), default=0
+            )
+            if max_items > bloom_expected:
+                while bloom_expected <= max_items:
+                    bloom_expected *= 2
+                manifest = bloom.build_shards(
+                    self.seen_df(k, compact),
+                    self._p("bloom", f"v{k:06d}_rebuild"),
+                    self.n_bloom_shards,
+                    expected_per_shard=bloom_expected,
+                )
+                _mark("bloom_rebuild")
         _mark("bloom_merge")
 
         # per-partition lineage metrics (north rule): admitted/new/frontier
@@ -497,7 +605,9 @@ class CrawlEngine:
             "iter": k,
             "frontier": fdir,
             "seen_upto": k,
+            "seen_compact": compact,
             "bloom_manifest": manifest,
+            "bloom_expected": bloom_expected,
             "pages_crawled_total": ck["pages_crawled_total"] + n_admitted,
             "metrics": metrics,
         })

@@ -382,3 +382,103 @@ def test_url_normalization_and_resolve(spark):
     ).collect()
     for r in out:
         assert r["got"] == r["expected"], r
+
+
+def test_seen_anti_join_hash_keyed_and_shard_pruned(spark, corpus_path, tmp_path):
+    """Verdict r02 item 2: the J1 anti-join keys on the 128-bit url
+    fingerprint (url_hash, url_hash2 — two longs), never the url string,
+    and the seen-side scan is pruned to the shard directories the
+    bloom-positive candidates actually touch."""
+    import re
+
+    from dmp_crawler_spark.frontier.urlnorm import with_url_cols
+
+    seeds = _seeds()
+    engine = _mk_engine(spark, corpus_path, tmp_path)
+    engine.init_from_seeds(
+        spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+    )
+    engine.run(max_iters=2)
+    ck = engine.last_checkpoint()
+    seen = engine.seen_df(ck["iter"], ck.get("seen_compact"))
+
+    crawled = [r["url"] for r in engine.crawled_df().select("url").limit(3).collect()]
+    fresh = "http://h1.example.com/article/99999998.html"
+    cands = spark.createDataFrame(
+        [(u,) for u in crawled + [fresh]], "url string"
+    )
+    cands = (
+        with_url_cols(cands.select(normalize_url("url").alias("url")))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("url_hash2", F.xxhash64("url", F.lit(1)))
+    )
+    out = bloom.dedup_candidates(
+        cands, seen, ck.get("bloom_manifest"), n_shards=8
+    )
+
+    # semantics: crawled urls are deduped out, the fresh one survives
+    got = {r["url"] for r in out.collect()}
+    assert fresh in got
+    assert not (got & set(crawled))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert join_lines, plan
+    for line in join_lines:
+        assert "url_hash" in line, line
+        stripped = line.replace("url_hash2", "").replace("url_hash", "")
+        assert "url#" not in stripped, line  # no string key in the join
+    # the seen scan carries a partition filter on shard
+    assert re.search(r"PartitionFilters: \[[^\]]*shard", plan), plan
+
+
+def test_resume_across_compaction_boundary(spark, corpus_path, tmp_path):
+    """Verdict r02 item 8: crawl state compacts the seen tail every K
+    iterations; a crash + resume across a compaction boundary reproduces
+    the uncompacted crawl exactly, and the per-iteration seen read list
+    stays bounded by K+1."""
+    seeds = _seeds()
+    sdf = spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+
+    ref = _mk_engine(spark, corpus_path, tmp_path / "ref", compact_seen_every=0)
+    ref.init_from_seeds(sdf)
+    ref.run(max_iters=4)
+
+    comp = _mk_engine(spark, corpus_path, tmp_path / "comp", compact_seen_every=2)
+    comp.init_from_seeds(sdf)
+    comp.run(max_iters=2)
+    resumed = _mk_engine(spark, corpus_path, tmp_path / "comp", compact_seen_every=2)
+    resumed.run(max_iters=2)
+
+    assert _visit_sets(ref) == _visit_sets(resumed)
+    ck = resumed.last_checkpoint()
+    assert ck["seen_compact"] is not None
+    assert len(resumed._seen_dirs(ck["iter"], ck["seen_compact"])) <= 3
+    a = {r["url"] for r in ref.seen_df(ck["iter"]).collect()}
+    b = {r["url"] for r in resumed.seen_df(ck["iter"], ck["seen_compact"]).collect()}
+    assert a == b
+
+
+def test_bloom_full_rebuild_trigger(spark, corpus_path, tmp_path):
+    """Verdict r02 item 8: when a shard outgrows the merge-time sizing,
+    the engine rebuilds every shard at the next power-of-two size (carried
+    in the checkpoint) — and the crawl stays exact throughout (bloom FPs
+    only ever fall through to the exact anti-join)."""
+    seeds = _seeds()
+    engine = _mk_engine(
+        spark, corpus_path, tmp_path, bloom_expected_per_shard=16
+    )
+    engine.init_from_seeds(
+        spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+    )
+    engine.run(max_iters=3)
+    ck = engine.last_checkpoint()
+    assert ck["bloom_expected"] > 16  # the trigger fired and doubled
+
+    sim = FrontierSimulator(N_URLS, _rules(), per_host_budget=3)
+    sim.init_from_seeds(seeds)
+    sim.run(max_iters=3)
+    sim_visits: dict[int, set] = {}
+    for it, url in sim.state.visit_order:
+        sim_visits.setdefault(it, set()).add(url)
+    assert _visit_sets(engine) == sim_visits
