@@ -40,10 +40,22 @@ _BLOCK = {
 }
 
 _WS_RE = re.compile(r"\s+")
+# fast-path detector: a string is CHANGED by _WS_RE.sub(" ", s) only if it
+# contains a whitespace char other than plain ' ' ([^\S ] is
+# unicode-whitespace minus space) or a multi-space run — most text nodes
+# are already normalized, and one C-level search beats a sub per node
+_WS_DIRTY_RE = re.compile(r"[^\S ]| {2,}")
+
+
+def _norm_ws(s: str) -> str:
+    """_WS_RE.sub(' ', s), skipping the sub when it would be the identity."""
+    if _WS_DIRTY_RE.search(s) is None:
+        return s
+    return _WS_RE.sub(" ", s)
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_desc")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None,
                  parent: "Element | None" = None):
@@ -51,6 +63,7 @@ class Element:
         self.attrs = attrs or {}
         self.children: list[object] = []  # Element | str (text node)
         self.parent = parent
+        self._desc: list["Element"] | None = None  # select() descendant cache
 
     # -- attribute / class helpers ------------------------------------
     def attr(self, name: str) -> str:
@@ -97,7 +110,7 @@ class Element:
                 return
             for ch in el.children:
                 if isinstance(ch, str):
-                    norm = _WS_RE.sub(" ", ch)
+                    norm = _norm_ws(ch)
                     if norm.startswith(" ") and (not parts or ends_with_space()):
                         norm = norm[1:]
                     if norm:
@@ -115,7 +128,7 @@ class Element:
         parts: list[str] = []
         for ch in self.children:
             if isinstance(ch, str):
-                norm = _WS_RE.sub(" ", ch)
+                norm = _norm_ws(ch)
                 if norm.startswith(" ") and (not parts or parts[-1].endswith(" ")):
                     norm = norm[1:]
                 if norm:
@@ -167,57 +180,85 @@ _SIMPLE_RE = re.compile(
 _PART_RE = re.compile(r"([#.][\w-]+|\[[^\]]+\])")
 
 
-def _match_simple(el: Element, simple: str) -> bool:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _compile_simple(simple: str):
+    """Parse one simple selector ONCE into (tag, typed parts) — selector
+    strings are a small fixed set per extractor, but _match_simple runs
+    hundreds of times per select(); re-regexing the selector per element
+    was ~10% of whole-page extraction time."""
     m = _SIMPLE_RE.fullmatch(simple)
     if not m:
-        return False
+        return None
     tag = m.group("tag")
-    if tag and tag != "*" and el.tag != tag.lower():
-        return False
+    tag = tag.lower() if tag and tag != "*" else None
+    parts: list[tuple] = []
     for part in _PART_RE.findall(m.group("rest") or ""):
         if part.startswith("#"):
-            if el.id != part[1:]:
-                return False
+            parts.append(("id", part[1:]))
         elif part.startswith("."):
-            if not el.has_class(part[1:]):
-                return False
+            parts.append(("class", part[1:]))
         else:  # [attr], [attr=val], [attr^=val], [attr!=val] (jsoup)
             body = part[1:-1]
             if "!=" in body:
-                # jsoup [attr!=val]: matches when the attribute differs OR
-                # is absent entirely (attr() returns '' for missing)
                 k, v = body.split("!=", 1)
-                v = v.strip("\"'")
-                if el.attrs.get(k.strip(), "") == v:
-                    return False
+                parts.append(("attr_ne", k.strip(), v.strip("\"'")))
             elif "^=" in body:
                 k, v = body.split("^=", 1)
-                v = v.strip("\"'")
-                if not el.attrs.get(k.strip(), "").startswith(v):
-                    return False
+                parts.append(("attr_prefix", k.strip(), v.strip("\"'")))
             elif "=" in body:
                 k, v = body.split("=", 1)
-                v = v.strip("\"'")
-                if el.attrs.get(k.strip()) != v:
-                    return False
+                parts.append(("attr_eq", k.strip(), v.strip("\"'")))
             else:
-                if body.strip() not in el.attrs:
-                    return False
+                parts.append(("attr_has", body.strip()))
+    return tag, tuple(parts)
+
+
+def _match_simple(el: Element, simple: str) -> bool:
+    compiled = _compile_simple(simple)
+    if compiled is None:
+        return False
+    tag, parts = compiled
+    if tag is not None and el.tag != tag:
+        return False
+    attrs = el.attrs
+    for p in parts:
+        op = p[0]
+        if op == "id":
+            if attrs.get("id", "") != p[1]:
+                return False
+        elif op == "class":
+            if p[1] not in attrs.get("class", "").split():
+                return False
+        elif op == "attr_ne":
+            # jsoup [attr!=val]: matches when the attribute differs OR
+            # is absent entirely (attr() returns '' for missing)
+            if attrs.get(p[1], "") == p[2]:
+                return False
+        elif op == "attr_prefix":
+            if not attrs.get(p[1], "").startswith(p[2]):
+                return False
+        elif op == "attr_eq":
+            if attrs.get(p[1]) != p[2]:
+                return False
+        else:  # attr_has
+            if p[1] not in attrs:
+                return False
     return True
 
 
-def _select_group(root: Element, group: str) -> list[Element]:
-    """jsoup-semantics select: candidates are the context element itself
-    plus its descendants (jsoup Element.getAllElements includes self — the
-    reference leans on this, e.g. font.select("font > div > h4") where the
-    context font matches the leftmost part), matched right-to-left; the
-    ancestor chain for combinators may climb ABOVE the context element
-    (jsoup evaluates ancestry absolutely, not subtree-bounded)."""
+@lru_cache(maxsize=512)
+def _parse_group(group: str):
+    """Tokenize a selector group (combinator chain) once per distinct
+    string; returns (simples, combs) with combs[k] the combinator to the
+    LEFT of simples[k]."""
     tokens = re.findall(r">|[^\s>]+", group)
     if not tokens:
-        return []
+        return None
     simples: list[str] = [tokens[0]]
-    combs: list[str] = [""]  # combinator to the LEFT of simples[k]
+    combs: list[str] = [""]
     i = 1
     while i < len(tokens):
         comb = " "
@@ -227,6 +268,20 @@ def _select_group(root: Element, group: str) -> list[Element]:
         simples.append(tokens[i])
         combs.append(comb)
         i += 1
+    return tuple(simples), tuple(combs)
+
+
+def _select_group(root: Element, group: str) -> list[Element]:
+    """jsoup-semantics select: candidates are the context element itself
+    plus its descendants (jsoup Element.getAllElements includes self — the
+    reference leans on this, e.g. font.select("font > div > h4") where the
+    context font matches the leftmost part), matched right-to-left; the
+    ancestor chain for combinators may climb ABOVE the context element
+    (jsoup evaluates ancestry absolutely, not subtree-bounded)."""
+    parsed = _parse_group(group)
+    if parsed is None:
+        return []
+    simples, combs = parsed
 
     def chain_ok(el: Element, k: int) -> bool:
         if k == 0:
@@ -245,7 +300,14 @@ def _select_group(root: Element, group: str) -> list[Element]:
         return False
 
     last = len(simples) - 1
-    pool = ([root] if root.tag != "#root" else []) + list(root.iter_elements())
+    desc = root._desc
+    if desc is None:
+        # trees are immutable once _Builder finishes (selectors/text() are
+        # read-only), so the flattened descendant list is cached per
+        # element — select() is called several times per page
+        desc = list(root.iter_elements())
+        root._desc = desc
+    pool = ([root] if root.tag != "#root" else []) + desc
     return [el for el in pool if _match_simple(el, simples[last]) and chain_ok(el, last)]
 
 
@@ -301,7 +363,7 @@ class _Builder(HTMLParser):
             self.stack[-1].children.append(data)
             parts = self.text_parts
             if parts is not None and not self._raw_depth:
-                norm = _WS_RE.sub(" ", data)
+                norm = _norm_ws(data)
                 if norm.startswith(" ") and (not parts or parts[-1].endswith(" ")):
                     norm = norm[1:]
                 if norm:

@@ -118,6 +118,7 @@ class CrawlEngine:
         admit_salts: int | None = None,
         enrichment: EnrichmentSpec | None = None,
         compact_seen_every: int = 8,
+        shard_prune_min_seen: int = 5_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -140,6 +141,12 @@ class CrawlEngine:
         # dir list (≤ N+1) instead of one dir per iteration ever crawled;
         # 0 disables compaction
         self.compact_seen_every = compact_seen_every
+        # shard-prune the seen side of the J1 anti-join only once the seen
+        # set is big enough that skipping shards beats the one extra tiny
+        # job that computes the candidate shard list (measured: the
+        # collect costs ~0.5-1.5 s/iteration; below ~5M seen rows the full
+        # 16 B/row hash scan is cheaper than that)
+        self.shard_prune_min_seen = shard_prune_min_seen
         # one or several enrichment stages (the reference's Jingdong page
         # does BOTH a price and a comment-count API call per product —
         # Crawler4Jingdong.java:304-334); stages apply in order
@@ -252,6 +259,7 @@ class CrawlEngine:
         )
         fr.write.mode("overwrite").parquet(self._p("frontier", "v000000"))
         fr_w = self.frontier_df(0)
+        n_seeds = fr_w.count()
         self._write_seen(fr_w, 0)
         manifest = None
         if self.use_bloom:
@@ -270,7 +278,8 @@ class CrawlEngine:
             "bloom_manifest": manifest,
             "bloom_expected": self.bloom_expected_per_shard,
             "pages_crawled_total": 0,
-            "metrics": {"frontier_size": fr_w.count()},
+            "seen_total": n_seeds,
+            "metrics": {"frontier_size": n_seeds},
         })
 
     def _write_seen(self, df: DataFrame, k: int) -> None:
@@ -469,9 +478,10 @@ class CrawlEngine:
         # 128-bit-hash anti-join against the shard-pruned seen scan
         compact = ck.get("seen_compact")
         seen = self.seen_df(ck["iter"], compact)
+        prune = ck.get("seen_total", 0) >= self.shard_prune_min_seen
         deduped = bloom.dedup_candidates(
             candidates, seen, ck.get("bloom_manifest"),
-            n_shards=self.n_bloom_shards,
+            n_shards=self.n_bloom_shards if prune else None,
         )
         new_entries = (
             deduped
@@ -609,6 +619,7 @@ class CrawlEngine:
             "bloom_manifest": manifest,
             "bloom_expected": bloom_expected,
             "pages_crawled_total": ck["pages_crawled_total"] + n_admitted,
+            "seen_total": ck.get("seen_total", 0) + n_new,
             "metrics": metrics,
         })
         admitted.unpersist()

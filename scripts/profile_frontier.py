@@ -106,13 +106,18 @@ def main() -> None:
     )
     cut("D_rules_join", cand)
 
-    cand2 = with_url_cols(cand).withColumn("url_hash", F.xxhash64("url"))
+    cand2 = (
+        with_url_cols(cand)
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("url_hash2", F.xxhash64("url", F.lit(1)))
+    )
     tagged = bloom.prefilter(cand2, ck.get("bloom_manifest"))
     cut("E_bloom_prefilter", tagged)
 
-    seen = eng.seen_df(ck["iter"])
+    seen = eng.seen_df(ck["iter"], ck.get("seen_compact"))
     new_entries = (
-        bloom.dedup_candidates(cand2, seen, ck.get("bloom_manifest"))
+        bloom.dedup_candidates(cand2, seen, ck.get("bloom_manifest"),
+                               n_shards=eng.n_bloom_shards)
         .withColumn("discovery_iter", F.lit(k))
         .withColumn("retry_count", F.lit(0))
         .select("url", "host", "host_hash", "depth", "discovery_iter",

@@ -82,3 +82,36 @@ def test_c9_locale_datetime_parse(spark):
     ]
     # session TZ is UTC: 18:30:15+08:00 == 10:30:15Z; bad input → null
     assert out == ["2016-08-25 10:30:15", None]
+
+
+def test_dist_zip_matches_working_tree():
+    """ADVICE r02: the committed spark-submit --py-files zip must match the
+    working tree — a stale zip deploys old behavior. Compares the byte
+    content of every packaged module against the source tree."""
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(root, "dist", "dmp_crawler_spark.zip")
+    assert os.path.exists(zpath), "run scripts/package.sh"
+    stale = []
+    with zipfile.ZipFile(zpath) as z:
+        names = [n for n in z.namelist() if n.endswith(".py")]
+        for n in names:
+            src = os.path.join(root, n)
+            if not os.path.exists(src):
+                stale.append(f"{n}: removed from tree")
+                continue
+            with open(src, "rb") as f:
+                if f.read() != z.read(n):
+                    stale.append(f"{n}: differs from tree")
+    zipped = {n for n in names}
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "dmp_crawler_spark")):
+        if "__pycache__" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                if rel not in zipped:
+                    stale.append(f"{rel}: missing from zip")
+    assert not stale, "stale dist zip — re-run scripts/package.sh:\n" + "\n".join(stale)
