@@ -702,7 +702,8 @@ def fingerprint_dedup(spark, d):
 
 # ---------------------------------------------------------------------------
 # LSH / similarity / multimodal operators (oracle-checked against exact
-# DuckDB replays) and the two iterative rows-only smokes
+# DuckDB replays) and the one iterative rows-only smoke (crawl_engine_smoke;
+# weixin_import_smoke gained a whole-pipeline oracle in round 3)
 
 
 def minhash_pairs_q(spark, d):
