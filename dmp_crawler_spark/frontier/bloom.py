@@ -273,26 +273,46 @@ def dedup_candidates(candidates: DataFrame, seen: DataFrame | None,
     the bloom-positive candidates actually touch — hosts hash to one
     shard, so an iteration crawling few hosts reads few shards.
 
+    With manifest_path=None (bloom gated off below the engine's
+    bloom_min_seen threshold, or disabled) every candidate goes straight
+    to the exact anti-join — no Arrow prefilter round trip, no persist
+    unless the shard-prune collect needs one.
+
     Falls back to the legacy url-string join when either side lacks the
     fingerprint columns (plain-url seen tables in tests/tools)."""
-    tagged = prefilter(candidates, manifest_path)
+    use_bloom = manifest_path is not None and os.path.exists(manifest_path)
+    tagged = prefilter(candidates, manifest_path) if use_bloom else candidates
     if seen is None:
-        return tagged.drop("maybe_seen")
+        return tagged.drop("maybe_seen") if use_bloom else tagged
     hash_keyed = (
         {"url_hash", "url_hash2"} <= set(seen.columns)
         and {"url_hash", "url_hash2"} <= set(candidates.columns)
     )
     if not hash_keyed:
+        if not use_bloom:
+            return candidates.join(seen.select("url"), "url", "left_anti")
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         survived = maybe.join(seen.select("url"), "url", "left_anti")
         return definitely_new.unionByName(survived)
-    # materialize the tagged candidates once: the shard-set collect below
-    # and the two downstream branches (definitely-new, maybe-seen) all
-    # reuse it instead of recomputing the link-discovery + rules pipeline
-    tagged = tagged.persist()
-    definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    cache = None
+    if use_bloom:
+        # materialize the tagged candidates once: the shard-set collect
+        # below and the two downstream branches (definitely-new,
+        # maybe-seen) all reuse it instead of recomputing the
+        # link-discovery + rules pipeline
+        tagged = tagged.persist()
+        cache = tagged
+        definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    else:
+        definitely_new = None
+        maybe = tagged
+        if n_shards and "shard" in seen.columns:
+            # the shard-list collect below consumes the candidate pipeline
+            # once; persist so the anti-join reuses it
+            maybe = maybe.persist()
+            cache = maybe
     if n_shards and "shard" in seen.columns:
         shards = [
             int(r[0])
@@ -308,8 +328,13 @@ def dedup_candidates(candidates: DataFrame, seen: DataFrame | None,
         ["url_hash", "url_hash2"],
         "left_anti",
     )
-    out = definitely_new.unionByName(survived)
+    out = (
+        definitely_new.unionByName(survived)
+        if definitely_new is not None
+        else survived
+    )
     # the caller owns the cache lifetime: unpersist after the plan is
     # consumed (CrawlEngine.step does this after the frontier write)
-    out._dedup_cache = tagged
+    if cache is not None:
+        out._dedup_cache = cache
     return out

@@ -44,7 +44,9 @@ def _mk_engine(spark, corpus_path, tmp_path, **kw):
         spark, str(tmp_path), fetcher, site_rules,
         per_host_budget=kw.pop("per_host_budget", 3),
         global_budget=kw.pop("global_budget", None),
-        n_bloom_shards=8, **kw,
+        # bloom_min_seen=0 keeps the bloom prefilter active at test scale
+        # (the production default gates it off below 1M seen rows)
+        n_bloom_shards=8, bloom_min_seen=kw.pop("bloom_min_seen", 0), **kw,
     )
 
 
@@ -457,6 +459,31 @@ def test_resume_across_compaction_boundary(spark, corpus_path, tmp_path):
     a = {r["url"] for r in ref.seen_df(ck["iter"]).collect()}
     b = {r["url"] for r in resumed.seen_df(ck["iter"], ck["seen_compact"]).collect()}
     assert a == b
+
+
+def test_bloom_size_gate_crossing(spark, corpus_path, tmp_path):
+    """Round-3 bloom gate: below bloom_min_seen total seen rows the engine
+    skips the prefilter UDF and all shard maintenance (the exact hash
+    anti-join alone is cheaper at that size); the first iteration at or
+    past the threshold builds every shard from the exact seen set; and the
+    crawl's visit sets are identical either side of the gate."""
+    seeds = _seeds()
+    sdf = spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+
+    gated = _mk_engine(spark, corpus_path, tmp_path / "gated", bloom_min_seen=30)
+    gated.init_from_seeds(sdf)
+    assert gated.last_checkpoint()["bloom_manifest"] is None  # seeds < gate
+    gated.run(max_iters=3)
+    ck = gated.last_checkpoint()
+    assert ck["seen_total"] >= 30
+    assert ck["bloom_manifest"] is not None  # built once at the crossing
+    # sized to the live seen set with headroom, carried in the checkpoint
+    assert ck["bloom_expected"] * gated.n_bloom_shards >= ck["seen_total"]
+
+    ref = _mk_engine(spark, corpus_path, tmp_path / "ref")
+    ref.init_from_seeds(sdf)
+    ref.run(max_iters=3)
+    assert _visit_sets(ref) == _visit_sets(gated)
 
 
 def test_bloom_full_rebuild_trigger(spark, corpus_path, tmp_path):
