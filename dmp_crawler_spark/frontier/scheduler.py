@@ -51,6 +51,18 @@ FRONTIER_COLS = [
     "url", "host", "host_hash", "depth", "discovery_iter", "score", "retry_count",
 ]
 
+# explicit schema for frontier delta-dir reads (an iteration that
+# discovers nothing writes an empty dir — no footers to infer from)
+FRONTIER_SCHEMA = (
+    "url string, host string, host_hash long, depth int, "
+    "discovery_iter int, score double, retry_count int"
+)
+
+# tombstones: the exact row VERSION admitted this iteration — 128-bit url
+# fingerprint + retry_count (a requeued retry is a different version, so
+# it survives the anti-join that removes its admitted predecessor)
+TOMB_SCHEMA = "url_hash long, url_hash2 long, retry_count int"
+
 # explicit schema for seen-dir reads: an iteration that discovers no new
 # URLs writes an empty partitioned dir (no parquet footers), which would
 # otherwise fail schema inference
@@ -118,6 +130,7 @@ class CrawlEngine:
         admit_salts: int | None = None,
         enrichment: EnrichmentSpec | None = None,
         compact_seen_every: int = 8,
+        compact_frontier_every: int = 8,
         shard_prune_min_seen: int = 5_000_000,
         bloom_min_seen: int = 1_000_000,
     ):
@@ -142,6 +155,16 @@ class CrawlEngine:
         # dir list (≤ N+1) instead of one dir per iteration ever crawled;
         # 0 disables compaction
         self.compact_seen_every = compact_seen_every
+        # the frontier is maintained LSM-style for the same reason: one
+        # O(frontier)-row rewrite per iteration is the single biggest
+        # write at 10^10 URLs. Each iteration appends an O(Δ) delta dir
+        # (new discoveries + requeued retries) and an O(admitted)
+        # tombstone dir; the pending view is base ∪ deltas − tombstones
+        # (broadcast anti-join on the 128-bit row-version key — map-side,
+        # the big side never shuffles). Every N iterations the view is
+        # folded into a new base, so reads stay bounded at N+1 dirs and
+        # the full-frontier write cost is amortized to O(frontier/N).
+        self.compact_frontier_every = compact_frontier_every
         # shard-prune the seen side of the J1 anti-join only once the seen
         # set is big enough that skipping shards beats the one extra tiny
         # job that computes the candidate shard list (measured: the
@@ -191,8 +214,73 @@ class CrawlEngine:
             json.dump(ck, f)
         os.replace(tmp, path)
 
+    def _frontier_dirs(
+        self, k: int, base: dict | None
+    ) -> tuple[str | None, list[str], list[str]]:
+        """(base path, delta dirs, tombstone dirs) making up the pending
+        frontier at iteration k. Bounded by compact_frontier_every + 1 —
+        the per-iteration plan never grows with crawl age."""
+        base_path = None
+        start = 1
+        if base:
+            base_path = base["path"]
+            start = base["upto"] + 1
+        deltas, tombs = [], []
+        for i in range(start, k + 1):
+            d = self._p("frontier", f"log_v{i:06d}", "kind=add")
+            t = self._p("frontier", f"log_v{i:06d}", "kind=tomb")
+            if os.path.exists(d):
+                deltas.append(d)
+            if os.path.exists(t):
+                tombs.append(t)
+        return base_path, deltas, tombs
+
+    def frontier_view(self, k: int, base: dict | None) -> DataFrame:
+        """Pending frontier at iteration k: compaction base ∪ per-iteration
+        deltas, minus the tombstoned (admitted) row versions. The
+        tombstone set is ≤ compact_frontier_every × per-iteration
+        admissions — small enough to broadcast, so the anti-join is
+        map-side and the O(frontier) big side never shuffles."""
+        base_path, deltas, tombs = self._frontier_dirs(k, base)
+        parts = [self.spark.read.parquet(base_path)] if base_path else []
+        parts += [
+            self.spark.read.schema(FRONTIER_SCHEMA).parquet(d) for d in deltas
+        ]
+        fr = parts[0]
+        for p in parts[1:]:
+            fr = fr.unionByName(p)
+        if tombs:
+            tomb = self.spark.read.schema(TOMB_SCHEMA).parquet(*tombs)
+            # broadcast only while the tombstone files are actually small
+            # (they are 20 B/row; compaction bounds them at
+            # compact_frontier_every × admissions). Past the cap, fall
+            # back to a plain anti-join and let AQE pick the strategy —
+            # force-broadcasting a multi-GB set would OOM the driver.
+            on_disk = sum(
+                os.path.getsize(os.path.join(root, f))
+                for t in tombs
+                for root, _, files in os.walk(t)
+                for f in files
+            )
+            if on_disk < 64 << 20:
+                tomb = F.broadcast(tomb)
+            fr = (
+                fr.withColumn("url_hash", F.xxhash64("url"))
+                .withColumn("url_hash2", F.xxhash64("url", F.lit(1)))
+                .join(
+                    tomb,
+                    ["url_hash", "url_hash2", "retry_count"],
+                    "left_anti",
+                )
+                .drop("url_hash", "url_hash2")
+            )
+        return fr
+
     def frontier_df(self, k: int) -> DataFrame:
-        return self.spark.read.parquet(self._p("frontier", f"v{k:06d}"))
+        """Frontier view as of the checkpoint at iteration k (tools/tests)."""
+        with open(self._ckpt_path(k)) as f:
+            ck = json.load(f)
+        return self.frontier_view(k, ck.get("frontier_base"))
 
     def _seen_dirs(self, upto_iter: int, compact: dict | None = None) -> list[str]:
         """Directories making up the seen set through upto_iter: the last
@@ -267,9 +355,21 @@ class CrawlEngine:
             .withColumn("retry_count", F.lit(0))
             .select(*FRONTIER_COLS)
         )
-        fr.write.mode("overwrite").parquet(self._p("frontier", "v000000"))
-        fr_w = self.frontier_df(0)
-        n_seeds = fr_w.count()
+        fr.write.mode("overwrite").parquet(self._p("frontier", "base_v000000"))
+        fr_w = self.spark.read.parquet(self._p("frontier", "base_v000000"))
+        # per-shard pending counts ride in the checkpoint (O(shards) JSON):
+        # iteration metrics update them from the delta/tombstone aggregates
+        # instead of re-counting the whole frontier
+        shard_rows = (
+            fr_w.groupBy(
+                F.pmod("host_hash", F.lit(self.n_bloom_shards))
+                .cast("int").alias("shard")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        frontier_shards = {str(r["shard"]): int(r["n"]) for r in shard_rows}
+        n_seeds = sum(frontier_shards.values())
         self._write_seen(fr_w, 0)
         manifest = None
         if self.use_bloom and n_seeds >= self.bloom_min_seen:
@@ -282,7 +382,9 @@ class CrawlEngine:
             )
         self._commit({
             "iter": 0,
-            "frontier": self._p("frontier", "v000000"),
+            "frontier_base": {"path": self._p("frontier", "base_v000000"),
+                              "upto": 0},
+            "frontier_shards": frontier_shards,
             "seen_upto": 0,
             "seen_compact": None,
             "bloom_manifest": manifest,
@@ -331,7 +433,7 @@ class CrawlEngine:
             phases[name] = round(now - _last[0], 3)
             _last[0] = now
 
-        frontier = self.spark.read.parquet(ck["frontier"])
+        frontier = self.frontier_view(ck["iter"], ck.get("frontier_base"))
 
         if self.respect_robots and self.robots is not None:
             eligible = robots_mod.apply_robots(frontier, self.robots)
@@ -351,7 +453,8 @@ class CrawlEngine:
         _mark("admit")
 
         if n_admitted == 0:
-            metrics = {"admitted": 0, "frontier_size": frontier.count(), "done": True}
+            size = sum(ck.get("frontier_shards", {}).values())
+            metrics = {"admitted": 0, "frontier_size": size, "done": True}
             self._commit({**ck, "iter": k, "metrics": metrics})
             return metrics
 
@@ -500,30 +603,72 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
 
-        # frontier' = (frontier − admitted) ∪ retries ∪ new
-        pending = frontier.join(admitted.select("url"), "url", "left_anti").select(
-            *FRONTIER_COLS
+        # frontier' = (frontier − admitted) ∪ retries ∪ new, maintained
+        # LSM-style: write ONLY the O(Δ) delta (new + retries) and the
+        # O(admitted) tombstone versions; frontier_view() applies them at
+        # read time. The old one-dir-per-iteration full rewrite was the
+        # single biggest write in the loop and O(frontier) at 10^10 URLs.
+        delta = new_entries if retry is None else new_entries.unionByName(retry)
+        # adds and tombstones land in ONE partitioned write (kind=add /
+        # kind=tomb subdirs): a second tiny write job costs ~1 s of fixed
+        # job+committer latency per iteration on this box (measured)
+        nul = [
+            F.lit(None).cast(t).alias(c)
+            for c, t in (("url", "string"), ("host", "string"),
+                         ("host_hash", "long"), ("depth", "int"),
+                         ("discovery_iter", "int"), ("score", "double"))
+        ]
+        tomb_rows_df = admitted.select(
+            *nul,
+            F.col("retry_count"),
+            F.xxhash64("url").alias("url_hash"),
+            F.xxhash64("url", F.lit(1)).alias("url_hash2"),
+            F.lit("tomb").alias("kind"),
         )
-        new_frontier = pending.unionByName(new_entries)
-        if retry is not None:
-            new_frontier = new_frontier.unionByName(retry)
-        # NOTE: measured — attaching an Observation to this write disables
-        # enough of AQE on the big union+anti-join plan to cost ~2× wall
-        # clock at 100k URLs; totals instead come from the per-shard
-        # metrics read-back (a tiny collect) below.
-        fdir = self._p("frontier", f"v{k:06d}")
-        new_frontier.write.mode("overwrite").parquet(fdir)
+        add_rows_df = delta.select(
+            *FRONTIER_COLS,
+            F.lit(None).cast("long").alias("url_hash"),
+            F.lit(None).cast("long").alias("url_hash2"),
+            F.lit("add").alias("kind"),
+        )
+        ldir = self._p("frontier", f"log_v{k:06d}")
+        add_rows_df.unionByName(tomb_rows_df).write.mode(
+            "overwrite"
+        ).partitionBy("kind").parquet(ldir)
+        ddir = self._p("frontier", f"log_v{k:06d}", "kind=add")
         dedup_cache = getattr(deduped, "_dedup_cache", None)
         if dedup_cache is not None:
             dedup_cache.unpersist(blocking=False)
         _mark("frontier_write")
 
-        new_frontier_w = self.spark.read.parquet(fdir)
-        new_w = new_frontier_w.filter(
+        # an iteration with no discoveries and no retries writes no
+        # kind=add files at all — fall back to an empty local relation
+        delta_w = (
+            self.spark.read.schema(FRONTIER_SCHEMA).parquet(ddir)
+            if os.path.exists(ddir)
+            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        new_w = delta_w.filter(
             (F.col("discovery_iter") == k) & (F.col("retry_count") == 0)
         )
         self._write_seen(new_w.select("url", "host_hash"), k)
         _mark("seen_write")
+
+        # periodic frontier compaction: fold base ∪ deltas − tombstones
+        # into a fresh base so the admission read stays bounded at
+        # compact_frontier_every + 1 dirs and the tombstone broadcast
+        # stays small. Committed via the checkpoint below (crash-safe the
+        # same way seen compaction is).
+        fbase = ck.get("frontier_base")
+        if self.compact_frontier_every:
+            _, f_deltas, _ = self._frontier_dirs(k, fbase)
+            if len(f_deltas) >= self.compact_frontier_every:
+                cpath = self._p("frontier", f"base_v{k:06d}")
+                self.frontier_view(k, fbase).write.mode("overwrite").parquet(
+                    cpath
+                )
+                fbase = {"path": cpath, "upto": k}
+                _mark("frontier_compact")
 
         # periodic seen compaction: fold the baseline + tail into one
         # shard-partitioned dir so the anti-join's source list stays
@@ -601,34 +746,64 @@ class CrawlEngine:
         _mark("bloom_merge")
 
         # per-partition lineage metrics (north rule): admitted/new/frontier
-        # counts per host-hash shard — one job; iteration totals are then
-        # computed from this per-shard metrics parquet read-back (O(shards)
-        # rows, not O(urls))
-        shard = F.pmod("host_hash", F.lit(self.n_bloom_shards)).alias("shard")
-        (
+        # counts per host-hash shard. With the LSM frontier these are
+        # maintained INCREMENTALLY: two O(Δ)-input aggregates (delta adds,
+        # admitted tombstones) collected as O(shards) rows and folded into
+        # the running per-shard counts carried in the checkpoint — no
+        # O(frontier) count job anywhere in the loop.
+        shard = (
+            F.pmod("host_hash", F.lit(self.n_bloom_shards))
+            .cast("int").alias("shard")
+        )
+        add_rows = (
+            delta_w.select(
+                shard, (F.col("retry_count") == 0).cast("int").alias("is_new")
+            )
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_add"), F.sum("is_new").alias("n_new"))
+            .collect()
+        )
+        tomb_rows = (
             admitted.select(shard)
             .groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n_admitted"))
-            .join(
-                new_frontier_w.select(
-                    shard,
-                    (F.col("discovery_iter") == k).cast("int").alias("is_new"),
-                )
-                .groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("n_frontier"),
-                    F.sum("is_new").alias("n_new"),
-                ),
-                "shard",
-                "full_outer",
-            )
-            .withColumn("iter", F.lit(k))
-            .write.mode("overwrite")
-            .parquet(self._p("metrics", f"iter={k:06d}"))
+            .agg(F.count(F.lit(1)).alias("n_tomb"))
+            .collect()
         )
-        mrows = self.spark.read.parquet(self._p("metrics", f"iter={k:06d}")).collect()
-        frontier_size = sum(r["n_frontier"] or 0 for r in mrows)
-        n_new = sum(r["n_new"] or 0 for r in mrows)
+        counts = {int(s): int(n)
+                  for s, n in ck.get("frontier_shards", {}).items()}
+        new_by_shard: dict[int, int] = {}
+        adm_by_shard: dict[int, int] = {}
+        n_new = 0
+        for r in add_rows:
+            counts[r["shard"]] = counts.get(r["shard"], 0) + int(r["n_add"])
+            new_by_shard[r["shard"]] = int(r["n_new"] or 0)
+            n_new += int(r["n_new"] or 0)
+        for r in tomb_rows:
+            counts[r["shard"]] = counts.get(r["shard"], 0) - int(r["n_tomb"])
+            adm_by_shard[r["shard"]] = int(r["n_tomb"])
+        frontier_size = sum(counts.values())
+        shards_all = sorted(set(counts) | set(adm_by_shard) | set(new_by_shard))
+        # O(shards) rows written driver-side with pyarrow: a Spark write
+        # of a 16-row local DataFrame costs 3-5 s of job+committer
+        # overhead per iteration on this box (measured) for zero benefit
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = self._p("metrics", f"iter={k:06d}")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "shard": pa.array(shards_all, pa.int32()),
+                "n_admitted": pa.array(
+                    [adm_by_shard.get(s, 0) for s in shards_all], pa.int64()),
+                "n_frontier": pa.array(
+                    [counts.get(s, 0) for s in shards_all], pa.int64()),
+                "n_new": pa.array(
+                    [new_by_shard.get(s, 0) for s in shards_all], pa.int64()),
+                "iter": pa.array([k] * len(shards_all), pa.int32()),
+            }),
+            os.path.join(mdir, "part-00000.parquet"),
+        )
         _mark("metrics_counts")
 
         metrics = {
@@ -643,7 +818,8 @@ class CrawlEngine:
         }
         self._commit({
             "iter": k,
-            "frontier": fdir,
+            "frontier_base": fbase,
+            "frontier_shards": {str(s): n for s, n in counts.items()},
             "seen_upto": k,
             "seen_compact": compact,
             "bloom_manifest": manifest,
@@ -760,7 +936,7 @@ class CrawlEngine:
             .drop("__rn")
         )
         expired = latest.filter(F.col("crawl_iter") <= k - ttl_iters)
-        frontier = self.spark.read.parquet(ck["frontier"])
+        frontier = self.frontier_view(k, ck.get("frontier_base"))
         readmit = (
             expired.join(frontier.select("url"), "url", "left_anti")
             .select(
@@ -768,14 +944,30 @@ class CrawlEngine:
                 F.lit(k).alias("discovery_iter"), "score",
                 F.lit(0).alias("retry_count"),
             )
-        )
+        ).cache()
         n = readmit.count()
         if n == 0:
+            readmit.unpersist()
             return 0
-        fdir = self._p("frontier", f"v{k:06d}_readmit")
+        # occasional maintenance op: fold view ∪ readmits into a fresh
+        # base (doubles as a compaction); per-shard counts bump by the
+        # readmitted rows
+        fdir = self._p("frontier", f"base_v{k:06d}_readmit")
         frontier.select(*FRONTIER_COLS).unionByName(readmit).write.mode(
             "overwrite"
         ).parquet(fdir)
-        self._commit({**ck, "frontier": fdir,
+        counts = {int(s): int(c)
+                  for s, c in ck.get("frontier_shards", {}).items()}
+        for r in (
+            readmit.groupBy(
+                F.pmod("host_hash", F.lit(self.n_bloom_shards))
+                .cast("int").alias("shard")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            counts[r["shard"]] = counts.get(r["shard"], 0) + int(r["n"])
+        readmit.unpersist()
+        self._commit({**ck,
+                      "frontier_base": {"path": fdir, "upto": k},
+                      "frontier_shards": {str(s): c for s, c in counts.items()},
                       "metrics": {**ck.get("metrics", {}), "readmitted": n}})
         return n

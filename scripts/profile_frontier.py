@@ -60,7 +60,7 @@ def main() -> None:
     # ---- replay iteration 3's frontier_write chain, stage by stage ----
     ck = eng.last_checkpoint()
     k = ck["iter"] + 1
-    frontier = spark.read.parquet(ck["frontier"])
+    frontier = eng.frontier_view(ck["iter"], ck.get("frontier_base"))
     from dmp_crawler_spark.frontier import politeness
     admitted = politeness.admit(
         frontier, eng.per_host_budget, global_budget=None, n_salts=None
@@ -125,13 +125,30 @@ def main() -> None:
     )
     cut("F_full_dedup", new_entries)
 
-    pending = frontier.join(admitted.select("url"), "url", "left_anti").select(
-        "url", "host", "host_hash", "depth", "discovery_iter", "score",
-        "retry_count")
-    new_frontier = pending.unionByName(new_entries)
+    # LSM frontier maintenance: the per-iteration write is the O(Δ) delta
+    # + O(admitted) tombstones in one partitioned job, never a full rewrite
+    nul = [
+        F.lit(None).cast(t).alias(c)
+        for c, t in (("url", "string"), ("host", "string"),
+                     ("host_hash", "long"), ("depth", "int"),
+                     ("discovery_iter", "int"), ("score", "double"))
+    ]
+    tombs = admitted.select(
+        *nul, F.col("retry_count"),
+        F.xxhash64("url").alias("url_hash"),
+        F.xxhash64("url", F.lit(1)).alias("url_hash2"),
+        F.lit("tomb").alias("kind"),
+    )
+    adds = new_entries.select(
+        "*",
+        F.lit(None).cast("long").alias("url_hash"),
+        F.lit(None).cast("long").alias("url_hash2"),
+        F.lit("add").alias("kind"),
+    )
     t0 = time.time()
-    new_frontier.write.mode("overwrite").parquet(eng._p("frontier", "vPROF"))
-    timings["G_full_union_write"] = round(time.time() - t0, 2)
+    adds.unionByName(tombs).write.mode("overwrite").partitionBy("kind").parquet(
+        eng._p("frontier", "logPROF"))
+    timings["G_delta_tomb_write"] = round(time.time() - t0, 2)
 
     print(json.dumps({"n_urls": n, "stage_sec": timings}))
 

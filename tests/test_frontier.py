@@ -461,6 +461,44 @@ def test_resume_across_compaction_boundary(spark, corpus_path, tmp_path):
     assert a == b
 
 
+def test_frontier_lsm_bounded_and_resume(spark, corpus_path, tmp_path):
+    """Round-3 LSM frontier: per-iteration writes are the O(Δ) delta (new
+    + retries) and O(admitted) tombstones, never a full rewrite; the
+    pending view folds into a fresh base every K iterations so reads stay
+    ≤ K+1 dirs; a crash + resume across the compaction boundary
+    reproduces the uncompacted crawl exactly; and the per-shard pending
+    counts carried in the checkpoint match the materialized view."""
+    seeds = _seeds()
+    sdf = spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+
+    ref = _mk_engine(spark, corpus_path, tmp_path / "ref",
+                     compact_frontier_every=0)
+    ref.init_from_seeds(sdf)
+    ref.run(max_iters=4)
+
+    comp = _mk_engine(spark, corpus_path, tmp_path / "comp",
+                      compact_frontier_every=2)
+    comp.init_from_seeds(sdf)
+    comp.run(max_iters=2)
+    resumed = _mk_engine(spark, corpus_path, tmp_path / "comp",
+                         compact_frontier_every=2)
+    resumed.run(max_iters=2)
+
+    assert _visit_sets(ref) == _visit_sets(resumed)
+    ck = resumed.last_checkpoint()
+    assert ck["frontier_base"]["upto"] > 0  # compaction fired
+    _, deltas, tombs = resumed._frontier_dirs(ck["iter"], ck["frontier_base"])
+    assert len(deltas) <= 2 and len(tombs) <= 2
+    view = resumed.frontier_view(ck["iter"], ck["frontier_base"])
+    assert view.count() == sum(ck["frontier_shards"].values())
+    # pending row-version sets identical with and without compaction
+    rck = ref.last_checkpoint()
+    a = {(r["url"], r["retry_count"])
+         for r in ref.frontier_view(rck["iter"], rck["frontier_base"]).collect()}
+    b = {(r["url"], r["retry_count"]) for r in view.collect()}
+    assert a == b
+
+
 def test_bloom_size_gate_crossing(spark, corpus_path, tmp_path):
     """Round-3 bloom gate: below bloom_min_seen total seen rows the engine
     skips the prefilter UDF and all shard maintenance (the exact hash
