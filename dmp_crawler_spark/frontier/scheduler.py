@@ -11,6 +11,12 @@ Design for 10^10 URLs (the north rule):
     over rows, only over *iterations*;
   - URL-seen = append-only `seen` parquet partitions + per-shard bloom
     files (frontier/bloom.py) so the anti-join input shrinks map-side;
+  - the pending frontier is an LSM log past `lsm_min_frontier`: each
+    iteration appends an O(Δ) delta + O(admitted) tombstones and the view
+    is base ∪ deltas − tombstones (broadcast anti-join), folded into a
+    fresh base every `compact_frontier_every` iterations — the loop never
+    rewrites (or counts) the O(frontier) pending set; below the gate the
+    direct fold is the cheaper plan and the engine picks per-iteration;
   - checkpointed per-partition lineage: each iteration commits a JSON
     checkpoint naming the frontier snapshot, the seen partitions, and the
     bloom shard manifest (per-shard files = per-partition state) — crash
@@ -133,6 +139,7 @@ class CrawlEngine:
         compact_frontier_every: int = 8,
         shard_prune_min_seen: int = 5_000_000,
         bloom_min_seen: int = 1_000_000,
+        lsm_min_frontier: int = 2_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -165,6 +172,16 @@ class CrawlEngine:
         # folded into a new base, so reads stay bounded at N+1 dirs and
         # the full-frontier write cost is amortized to O(frontier/N).
         self.compact_frontier_every = compact_frontier_every
+        # LSM only pays once the pending set dwarfs the per-iteration
+        # delta. Below this many pending rows (cold starts, small crawls,
+        # and the growing phase where delta ≈ frontier) the engine folds
+        # (pending − admitted) ∪ delta into a fresh base directly — the
+        # fold write costs about the same as the delta write at that size
+        # and removes the tombstone write plus the per-read view anti-join.
+        # Same gate philosophy as bloom_min_seen: don't pay scale
+        # machinery for state you don't have yet. Semantics are identical
+        # either side (gate-crossing equivalence is pytest-asserted).
+        self.lsm_min_frontier = lsm_min_frontier
         # shard-prune the seen side of the J1 anti-join only once the seen
         # set is big enough that skipping shards beats the one extra tiny
         # job that computes the candidate shard list (measured: the
@@ -603,64 +620,91 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
 
-        # frontier' = (frontier − admitted) ∪ retries ∪ new, maintained
-        # LSM-style: write ONLY the O(Δ) delta (new + retries) and the
-        # O(admitted) tombstone versions; frontier_view() applies them at
-        # read time. The old one-dir-per-iteration full rewrite was the
-        # single biggest write in the loop and O(frontier) at 10^10 URLs.
+        # frontier' = (frontier − admitted) ∪ retries ∪ new. Past the
+        # lsm_min_frontier gate this is maintained LSM-style: write ONLY
+        # the O(Δ) delta (new + retries) and the O(admitted) tombstone
+        # versions; frontier_view() applies them at read time. A
+        # one-dir-per-iteration full rewrite is the single biggest write
+        # in the loop and O(frontier) at 10^10 URLs — but below the gate
+        # (cold start / small crawl, where delta ≈ frontier) the direct
+        # fold is the cheaper plan, so the engine picks per-iteration.
         delta = new_entries if retry is None else new_entries.unionByName(retry)
-        # adds and tombstones land in ONE partitioned write (kind=add /
-        # kind=tomb subdirs): a second tiny write job costs ~1 s of fixed
-        # job+committer latency per iteration on this box (measured)
-        nul = [
-            F.lit(None).cast(t).alias(c)
-            for c, t in (("url", "string"), ("host", "string"),
-                         ("host_hash", "long"), ("depth", "int"),
-                         ("discovery_iter", "int"), ("score", "double"))
-        ]
-        tomb_rows_df = admitted.select(
-            *nul,
-            F.col("retry_count"),
-            F.xxhash64("url").alias("url_hash"),
-            F.xxhash64("url", F.lit(1)).alias("url_hash2"),
-            F.lit("tomb").alias("kind"),
-        )
-        add_rows_df = delta.select(
-            *FRONTIER_COLS,
-            F.lit(None).cast("long").alias("url_hash"),
-            F.lit(None).cast("long").alias("url_hash2"),
-            F.lit("add").alias("kind"),
-        )
-        ldir = self._p("frontier", f"log_v{k:06d}")
-        add_rows_df.unionByName(tomb_rows_df).write.mode(
-            "overwrite"
-        ).partitionBy("kind").parquet(ldir)
-        ddir = self._p("frontier", f"log_v{k:06d}", "kind=add")
+        fbase = ck.get("frontier_base")
+        pending_total = sum(ck.get("frontier_shards", {}).values())
+        use_lsm = pending_total >= self.lsm_min_frontier
+        if use_lsm:
+            # adds and tombstones land in ONE partitioned write (kind=add
+            # / kind=tomb subdirs): a second tiny write job costs ~1 s of
+            # fixed job+committer latency per iteration on this box
+            # (measured)
+            nul = [
+                F.lit(None).cast(t).alias(c)
+                for c, t in (("url", "string"), ("host", "string"),
+                             ("host_hash", "long"), ("depth", "int"),
+                             ("discovery_iter", "int"), ("score", "double"))
+            ]
+            tomb_rows_df = admitted.select(
+                *nul,
+                F.col("retry_count"),
+                F.xxhash64("url").alias("url_hash"),
+                F.xxhash64("url", F.lit(1)).alias("url_hash2"),
+                F.lit("tomb").alias("kind"),
+            )
+            add_rows_df = delta.select(
+                *FRONTIER_COLS,
+                F.lit(None).cast("long").alias("url_hash"),
+                F.lit(None).cast("long").alias("url_hash2"),
+                F.lit("add").alias("kind"),
+            )
+            ldir = self._p("frontier", f"log_v{k:06d}")
+            add_rows_df.unionByName(tomb_rows_df).write.mode(
+                "overwrite"
+            ).partitionBy("kind").parquet(ldir)
+        else:
+            # small-frontier fold: one write, no tombstones, and the next
+            # iteration's view is a single dir scan
+            bdir = self._p("frontier", f"base_v{k:06d}")
+            (
+                frontier.join(admitted.select("url"), "url", "left_anti")
+                .select(*FRONTIER_COLS)
+                .unionByName(delta)
+                .write.mode("overwrite")
+                .parquet(bdir)
+            )
+            fbase = {"path": bdir, "upto": k}
         dedup_cache = getattr(deduped, "_dedup_cache", None)
         if dedup_cache is not None:
             dedup_cache.unpersist(blocking=False)
         _mark("frontier_write")
 
-        # an iteration with no discoveries and no retries writes no
-        # kind=add files at all — fall back to an empty local relation
-        delta_w = (
-            self.spark.read.schema(FRONTIER_SCHEMA).parquet(ddir)
-            if os.path.exists(ddir)
-            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        )
-        new_w = delta_w.filter(
-            (F.col("discovery_iter") == k) & (F.col("retry_count") == 0)
-        )
+        if use_lsm:
+            # an iteration with no discoveries and no retries writes no
+            # kind=add files at all — fall back to an empty local relation
+            ddir = self._p("frontier", f"log_v{k:06d}", "kind=add")
+            delta_w = (
+                self.spark.read.schema(FRONTIER_SCHEMA).parquet(ddir)
+                if os.path.exists(ddir)
+                else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+            )
+            new_w = delta_w.filter(
+                (F.col("discovery_iter") == k) & (F.col("retry_count") == 0)
+            )
+        else:
+            base_w = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+                fbase["path"]
+            )
+            new_w = base_w.filter(
+                (F.col("discovery_iter") == k) & (F.col("retry_count") == 0)
+            )
         self._write_seen(new_w.select("url", "host_hash"), k)
         _mark("seen_write")
 
-        # periodic frontier compaction: fold base ∪ deltas − tombstones
-        # into a fresh base so the admission read stays bounded at
-        # compact_frontier_every + 1 dirs and the tombstone broadcast
+        # periodic frontier compaction (LSM mode): fold base ∪ deltas −
+        # tombstones into a fresh base so the admission read stays bounded
+        # at compact_frontier_every + 1 dirs and the tombstone broadcast
         # stays small. Committed via the checkpoint below (crash-safe the
         # same way seen compaction is).
-        fbase = ck.get("frontier_base")
-        if self.compact_frontier_every:
+        if use_lsm and self.compact_frontier_every:
             _, f_deltas, _ = self._frontier_dirs(k, fbase)
             if len(f_deltas) >= self.compact_frontier_every:
                 cpath = self._p("frontier", f"base_v{k:06d}")
@@ -755,32 +799,56 @@ class CrawlEngine:
             F.pmod("host_hash", F.lit(self.n_bloom_shards))
             .cast("int").alias("shard")
         )
-        add_rows = (
-            delta_w.select(
-                shard, (F.col("retry_count") == 0).cast("int").alias("is_new")
-            )
-            .groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n_add"), F.sum("is_new").alias("n_new"))
-            .collect()
-        )
         tomb_rows = (
             admitted.select(shard)
             .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_tomb"))
             .collect()
         )
-        counts = {int(s): int(n)
-                  for s, n in ck.get("frontier_shards", {}).items()}
         new_by_shard: dict[int, int] = {}
         adm_by_shard: dict[int, int] = {}
         n_new = 0
-        for r in add_rows:
-            counts[r["shard"]] = counts.get(r["shard"], 0) + int(r["n_add"])
-            new_by_shard[r["shard"]] = int(r["n_new"] or 0)
-            n_new += int(r["n_new"] or 0)
         for r in tomb_rows:
-            counts[r["shard"]] = counts.get(r["shard"], 0) - int(r["n_tomb"])
             adm_by_shard[r["shard"]] = int(r["n_tomb"])
+        if use_lsm:
+            add_rows = (
+                delta_w.select(
+                    shard,
+                    (F.col("retry_count") == 0).cast("int").alias("is_new"),
+                )
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_add"),
+                     F.sum("is_new").alias("n_new"))
+                .collect()
+            )
+            counts = {int(s): int(n)
+                      for s, n in ck.get("frontier_shards", {}).items()}
+            for r in add_rows:
+                counts[r["shard"]] = counts.get(r["shard"], 0) + int(r["n_add"])
+                new_by_shard[r["shard"]] = int(r["n_new"] or 0)
+                n_new += int(r["n_new"] or 0)
+            for r in tomb_rows:
+                counts[r["shard"]] = counts.get(r["shard"], 0) - int(r["n_tomb"])
+        else:
+            # below the LSM gate the fresh base was just written — count
+            # it directly (one O(frontier) aggregate, small by definition
+            # here); new-this-iteration rides as a conditional sum
+            base_rows = (
+                base_w.select(
+                    shard,
+                    ((F.col("discovery_iter") == k)
+                     & (F.col("retry_count") == 0)).cast("int").alias("is_new"),
+                )
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_pending"),
+                     F.sum("is_new").alias("n_new"))
+                .collect()
+            )
+            counts = {}
+            for r in base_rows:
+                counts[r["shard"]] = int(r["n_pending"])
+                new_by_shard[r["shard"]] = int(r["n_new"] or 0)
+                n_new += int(r["n_new"] or 0)
         frontier_size = sum(counts.values())
         shards_all = sorted(set(counts) | set(adm_by_shard) | set(new_by_shard))
         # O(shards) rows written driver-side with pyarrow: a Spark write

@@ -44,9 +44,11 @@ def _mk_engine(spark, corpus_path, tmp_path, **kw):
         spark, str(tmp_path), fetcher, site_rules,
         per_host_budget=kw.pop("per_host_budget", 3),
         global_budget=kw.pop("global_budget", None),
-        # bloom_min_seen=0 keeps the bloom prefilter active at test scale
-        # (the production default gates it off below 1M seen rows)
-        n_bloom_shards=8, bloom_min_seen=kw.pop("bloom_min_seen", 0), **kw,
+        # bloom_min_seen=0 / lsm_min_frontier=0 keep the bloom prefilter
+        # and the LSM frontier log active at test scale (the production
+        # defaults gate both off below ~1-2M rows)
+        n_bloom_shards=8, bloom_min_seen=kw.pop("bloom_min_seen", 0),
+        lsm_min_frontier=kw.pop("lsm_min_frontier", 0), **kw,
     )
 
 
@@ -497,6 +499,48 @@ def test_frontier_lsm_bounded_and_resume(spark, corpus_path, tmp_path):
          for r in ref.frontier_view(rck["iter"], rck["frontier_base"]).collect()}
     b = {(r["url"], r["retry_count"]) for r in view.collect()}
     assert a == b
+
+
+def test_frontier_lsm_gate_crossing(spark, corpus_path, tmp_path):
+    """Round-3 LSM gate: below lsm_min_frontier pending rows the engine
+    folds (pending − admitted) ∪ delta into a fresh base directly (no
+    tombstones, single-dir view); once pending crosses the gate it
+    switches to the delta/tombstone log. Visit sets and the final pending
+    row-version set are identical on every side of the gate."""
+    seeds = _seeds()
+    sdf = spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+
+    engines = {}
+    for name, thresh in (("lsm", 0), ("fold", 10**9), ("cross", 60)):
+        e = _mk_engine(spark, corpus_path, tmp_path / name,
+                       lsm_min_frontier=thresh)
+        e.init_from_seeds(sdf)
+        e.run(max_iters=4)
+        engines[name] = e
+
+    # the crossing engine really crossed: early iterations fold (base
+    # advances), later ones append logs (base stays behind iter)
+    ck = engines["cross"].last_checkpoint()
+    assert ck["frontier_base"]["upto"] > 0
+    assert ck["frontier_base"]["upto"] < ck["iter"]
+    # the always-fold engine never wrote a log dir
+    ck_f = engines["fold"].last_checkpoint()
+    assert ck_f["frontier_base"]["upto"] == ck_f["iter"]
+
+    base = _visit_sets(engines["lsm"])
+    for name in ("fold", "cross"):
+        assert _visit_sets(engines[name]) == base, name
+    pend = {
+        name: {
+            (r["url"], r["retry_count"])
+            for r in e.frontier_view(
+                e.last_checkpoint()["iter"],
+                e.last_checkpoint()["frontier_base"],
+            ).collect()
+        }
+        for name, e in engines.items()
+    }
+    assert pend["lsm"] == pend["fold"] == pend["cross"]
 
 
 def test_bloom_size_gate_crossing(spark, corpus_path, tmp_path):

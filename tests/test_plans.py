@@ -110,6 +110,58 @@ def test_composed_job_queries_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_frontier_lsm_tombstone_join_is_broadcast(spark, tmp_path):
+    """The LSM frontier view's tombstone anti-join must broadcast the
+    O(admitted) tombstone side — the O(frontier) pending side never
+    shuffles. A sort-merge anti-join here would re-shuffle 10^10 pending
+    rows every iteration just to subtract the admitted set."""
+    from dmp_crawler_spark.frontier.scheduler import (
+        FRONTIER_COLS, FRONTIER_SCHEMA, CrawlEngine,
+    )
+
+    rules = spark.createDataFrame(
+        [("h.x", ".*", "article", 1.0)],
+        "site string, url_regex string, page_class string, score double",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "state"), fetcher=None,
+                      site_rules=rules)
+    rows = [
+        (f"http://h{i % 3}.x/{i}", f"h{i % 3}.x", i % 3, 0, 0, 1.0, 0)
+        for i in range(50)
+    ]
+    base = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    base.write.parquet(eng._p("frontier", "base_v000000"))
+    ldir = eng._p("frontier", "log_v000001")
+    adds = spark.createDataFrame(
+        [(f"http://h0.x/new{i}", "h0.x", 0, 1, 1, 1.0, 0) for i in range(5)],
+        FRONTIER_SCHEMA,
+    )
+    adds.select(
+        *FRONTIER_COLS,
+        F.lit(None).cast("long").alias("url_hash"),
+        F.lit(None).cast("long").alias("url_hash2"),
+        F.lit("add").alias("kind"),
+    ).unionByName(
+        base.limit(9).select(
+            *[F.lit(None).cast(t).alias(c) for c, t in (
+                ("url", "string"), ("host", "string"), ("host_hash", "long"),
+                ("depth", "int"), ("discovery_iter", "int"),
+                ("score", "double"))],
+            F.col("retry_count"),
+            F.xxhash64("url").alias("url_hash"),
+            F.xxhash64("url", F.lit(1)).alias("url_hash2"),
+            F.lit("tomb").alias("kind"),
+        )
+    ).write.partitionBy("kind").parquet(ldir)
+
+    view = eng.frontier_view(1, {"path": eng._p("frontier", "base_v000000"),
+                                 "upto": 0})
+    plan = inspect.physical_plan(view)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert view.count() == 50 + 5 - 9
+
+
 def test_oracle_queries_use_wholestage_codegen(spark):
     import __spark_entry__ as entrymod
 
