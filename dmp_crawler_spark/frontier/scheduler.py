@@ -139,7 +139,7 @@ class CrawlEngine:
         compact_frontier_every: int = 8,
         shard_prune_min_seen: int = 5_000_000,
         bloom_min_seen: int = 1_000_000,
-        lsm_min_frontier: int = 2_000_000,
+        lsm_min_frontier: int = 10_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -173,14 +173,18 @@ class CrawlEngine:
         # the full-frontier write cost is amortized to O(frontier/N).
         self.compact_frontier_every = compact_frontier_every
         # LSM only pays once the pending set dwarfs the per-iteration
-        # delta. Below this many pending rows (cold starts, small crawls,
-        # and the growing phase where delta ≈ frontier) the engine folds
-        # (pending − admitted) ∪ delta into a fresh base directly — the
-        # fold write costs about the same as the delta write at that size
-        # and removes the tombstone write plus the per-read view anti-join.
-        # Same gate philosophy as bloom_min_seen: don't pay scale
-        # machinery for state you don't have yet. Semantics are identical
-        # either side (gate-crossing equivalence is pytest-asserted).
+        # delta AND the O(pending) fold write outweighs the log's fixed
+        # overhead (~3 s/iteration of view anti-join + log jobs on this
+        # box — scripts/profile_lsm.py). Measured fold-write slope is
+        # ~0.1 s per million pending rows here
+        # (scripts/profile_frontier_write.py), putting the local
+        # crossover at tens of millions of rows; on replicated DFS the
+        # per-row write cost is several × higher, so the default sits
+        # below the local crossover. Below the gate the engine folds
+        # (pending − admitted) ∪ delta into a fresh base directly. Same
+        # gate philosophy as bloom_min_seen: don't pay scale machinery
+        # for state you don't have yet. Semantics are identical either
+        # side (gate-crossing equivalence is pytest-asserted).
         self.lsm_min_frontier = lsm_min_frontier
         # shard-prune the seen side of the J1 anti-join only once the seen
         # set is big enough that skipping shards beats the one extra tiny
