@@ -280,9 +280,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
                         threshold: float = 0.5, **lsh_kw) -> DataFrame:
     cand = minhash_lsh_pairs(docs, id_col, text_col, k_shingle=k_shingle, **lsh_kw)
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, k_shingle)).alias("sh"),
+    # exact shingle sets ONLY for docs that appear in a candidate pair:
+    # the full-corpus shingle projection is O(corpus) split/transform
+    # work, while the candidate id set is the (tiny) LSH survivor set —
+    # the semi-join pushes below the projection, so non-candidate docs
+    # never pay it
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        docs.select(F.col(id_col).alias("id"), text_col)
+        .join(ids, "id", "left_semi")
+        .select(
+            "id", F.array_distinct(shingles(text_col, k_shingle)).alias("sh")
+        )
     )
     j = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
