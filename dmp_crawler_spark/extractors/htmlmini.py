@@ -370,6 +370,236 @@ class _Builder(HTMLParser):
                     parts.append(norm)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer. stdlib HTMLParser.feed spends most of its time in
+# per-construct dispatch, line/column bookkeeping (updatepos) and charref
+# scanning that a whole-document parse doesn't need; this scanner drives
+# the SAME _Builder callbacks with the same event semantics (mirroring
+# goahead/parse_starttag/parse_endtag for the convert_charrefs=True,
+# single-feed case) at a fraction of the cost. Well-formed tags take a
+# single-regex fast path; anything unusual falls back to the stdlib's own
+# tolerant regexes so attribute/recovery semantics stay byte-identical.
+# Event parity with HTMLParser is asserted over every corpus archetype and
+# a malformed-html battery in tests/test_extractors.py.
+
+from html import unescape as _unescape  # noqa: E402  (stdlib html package)
+from html.parser import (  # noqa: E402  — the stdlib's tolerant grammar
+    attrfind_tolerant as _attrfind,
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    piclose as _piclose,
+    tagfind_tolerant as _tagfind,
+)
+
+# one regex per well-formed start tag: name + zero or more
+# double-quoted/single-quoted/bare attributes without entities, optional
+# self-close. Anything it can't swallow goes through the tolerant path.
+_FAST_START = re.compile(
+    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)'
+    r'((?:\s+[^\s/>=&]+(?:=(?:"[^"&<>]*"|\'[^\'&<>]*\'|[^>\s\'"=&]+))?)*)'
+    r'\s*(/?)>'
+)
+_FAST_ATTR = re.compile(
+    r'([^\s/>=&]+)(?:=(?:"([^"]*)"|\'([^\']*)\'|([^>\s\'"=&]+)))?'
+)
+# the full close tag, as in 3.11's set_cdata_mode: `</scriptx>` or
+# `</script attr>` never leaves raw-text mode
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+
+
+def _fast_feed(rawdata: str, h) -> None:
+    """Emit HTMLParser-identical events to `h` for one complete document.
+
+    Comments / doctype / PIs are consumed and dropped (the builder ignores
+    them); data inside <script>/<style> arrives un-unescaped, exactly like
+    cdata mode."""
+    handle_data = h.handle_data
+    i, n = 0, len(rawdata)
+    cdata_elem: str | None = None
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                chunk = rawdata[i:j]
+                handle_data(_unescape(chunk) if "&" in chunk else chunk)
+            i = j
+            if i == n:
+                break
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if not m:
+                # unterminated raw-text element: stdlib buffers forever
+                # (the data is never flushed) — match that
+                return
+            j = m.start()
+            if i < j:
+                handle_data(rawdata[i:j])
+            # the regex matched the complete close tag, so the endtag is
+            # unambiguous (3.11 semantics: only `</script\s*>` exits
+            # raw-text mode)
+            h.handle_endtag(cdata_elem)
+            cdata_elem = None
+            i = m.end()
+            continue
+        nxt = rawdata[i + 1:i + 2]
+        if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+            # --- start tag: fast path first
+            m = _FAST_START.match(rawdata, i)
+            if m:
+                tag = m.group(1).lower()
+                rawattrs = m.group(2)
+                attrs = (
+                    [
+                        (
+                            a.group(1).lower(),
+                            a.group(2)
+                            if a.group(2) is not None
+                            else a.group(3)
+                            if a.group(3) is not None
+                            else a.group(4),
+                        )
+                        for a in _FAST_ATTR.finditer(rawattrs)
+                    ]
+                    if rawattrs
+                    else []
+                )
+                if m.group(3):
+                    h.handle_startendtag(tag, attrs)
+                else:
+                    h.handle_starttag(tag, attrs)
+                    if tag in _CDATA_CLOSE:
+                        cdata_elem = tag
+                i = m.end()
+                continue
+            # --- tolerant path (mirrors parse_starttag)
+            lm = _locatestart.match(rawdata, i)
+            j = lm.end()
+            nc = rawdata[j:j + 1]
+            if nc == ">":
+                endpos = j + 1
+            elif nc == "/":
+                if rawdata.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    endpos = j if j > i else i + 1
+            elif nc == "" or nc in (
+                "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            ):
+                i = _flush_incomplete(rawdata, i, handle_data)
+                continue
+            else:
+                endpos = j if j > i else i + 1
+            tm = _tagfind.match(rawdata, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                handle_data(rawdata[i:endpos])
+            elif end.endswith("/>"):
+                h.handle_startendtag(tag, attrs)
+            else:
+                h.handle_starttag(tag, attrs)
+                if tag in _CDATA_CLOSE:
+                    cdata_elem = tag
+            i = endpos
+        elif nxt == "/":
+            # --- end tag (mirrors parse_endtag)
+            gt = rawdata.find(">", i + 1)
+            if gt < 0:
+                i = _flush_incomplete(rawdata, i, handle_data)
+                continue
+            gtpos = gt + 1
+            em = _endtagfind.match(rawdata, i)
+            if not em:
+                nm = _tagfind.match(rawdata, i + 2)
+                if not nm:
+                    if rawdata.startswith("</>", i):
+                        i += 3
+                    else:  # bogus comment: consumed to '>'
+                        i = gtpos
+                    continue
+                h.handle_endtag(nm.group(1).lower())
+                i = rawdata.find(">", nm.end()) + 1
+                continue
+            h.handle_endtag(em.group(1).lower())
+            i = gtpos
+        elif rawdata.startswith("<!--", i):
+            m = _commentclose.search(rawdata, i + 4)
+            if not m:
+                i = _flush_incomplete(rawdata, i, handle_data)
+                continue
+            i = m.end()
+        elif rawdata.startswith("<?", i):
+            m = _piclose.search(rawdata, i + 2)
+            if not m:
+                i = _flush_incomplete(rawdata, i, handle_data)
+                continue
+            i = m.end()
+        elif rawdata.startswith("<!", i):
+            # declaration family (mirrors parse_html_declaration)
+            if rawdata.startswith("<![", i):
+                m = _MARKED_CLOSE.search(rawdata, i + 3)
+                if not m:
+                    i = _flush_incomplete(rawdata, i, handle_data)
+                    continue
+                i = m.end()
+            else:
+                gt = rawdata.find(">", i + 2)
+                if gt < 0:
+                    i = _flush_incomplete(rawdata, i, handle_data)
+                    continue
+                i = gt + 1
+        else:
+            if i + 1 < n:
+                handle_data("<")
+                i += 1
+            else:
+                handle_data("<")  # final-flush path emits the lone '<'
+                i = n
+    return
+
+
+def _flush_incomplete(rawdata: str, i: int, handle_data) -> int:
+    """The goahead end-of-input recovery: an unterminated construct is
+    flushed as data up to the next '>' (inclusive) / '<' / one char."""
+    k = rawdata.find(">", i + 1)
+    if k < 0:
+        k = rawdata.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    chunk = rawdata[i:k]
+    if "&" in chunk:
+        chunk = _unescape(chunk)
+    handle_data(chunk)
+    return k
+
+
 # One-slot parse memo: the fused fetch pass derives BOTH the stripped-text
 # column and the extracted fields from the same html, and every extractor
 # opens with parse(html) — without the memo each page is DOM-parsed twice
@@ -384,7 +614,7 @@ def parse(html: str) -> Element:
     if html is not None and _MEMO[0] == html:
         return _MEMO[1]
     b = _Builder()
-    b.feed(html or "")
+    _fast_feed(html or "", b)
     _MEMO[0] = html
     _MEMO[1] = b.root
     return b.root
@@ -397,9 +627,19 @@ def parse_with_text(html: str) -> tuple[Element, str]:
         root = _MEMO[1]
         return root, root.text()
     b = _Builder(collect_text=True)
-    b.feed(html or "")
+    _fast_feed(html or "", b)
     _MEMO[0] = html
     _MEMO[1] = b.root
+    return b.root, "".join(b.text_parts).strip()
+
+
+def stdlib_parse_with_text(html: str) -> tuple[Element, str]:
+    """Reference path: the same _Builder driven by stdlib HTMLParser
+    (feed + close). Exists for the event-parity tests that pin
+    _fast_feed to HTMLParser semantics; not used in the hot path."""
+    b = _Builder(collect_text=True)
+    b.feed(html or "")
+    b.close()
     return b.root, "".join(b.text_parts).strip()
 
 

@@ -1,5 +1,6 @@
 """jsoup-compatibility tests for the stdlib DOM (extractors/htmlmini.py)."""
 
+from dmp_crawler_spark.corpus import templates
 from dmp_crawler_spark.extractors.htmlmini import jsoup_text, parse
 
 
@@ -52,3 +53,86 @@ def test_elements_containing_own_text():
     root = parse("<p>alpha</p><p>beta</p>")
     els = root.elements_containing_own_text("bet")
     assert len(els) == 1 and els[0].text() == "beta"
+
+
+# ---------------------------------------------------------------------------
+# _fast_feed event parity vs stdlib HTMLParser: the fast tokenizer must
+# produce an IDENTICAL tree and text stream to HTMLParser(feed+close) for
+# every corpus archetype, a malformed-html battery, and a deterministic
+# fragment-soup fuzz sweep.
+
+def _dump(el):
+    if isinstance(el, str):
+        return ("D", el)
+    return (
+        "E", el.tag, sorted(el.attrs.items()), [_dump(c) for c in el.children]
+    )
+
+
+def _stdlib(html):
+    from dmp_crawler_spark.extractors.htmlmini import _Builder
+
+    b = _Builder(collect_text=True)
+    b.feed(html or "")
+    b.close()
+    return _dump(b.root), "".join(b.text_parts).strip()
+
+
+def _fast(html):
+    from dmp_crawler_spark.extractors.htmlmini import _Builder, _fast_feed
+
+    b = _Builder(collect_text=True)
+    _fast_feed(html or "", b)
+    return _dump(b.root), "".join(b.text_parts).strip()
+
+
+_EDGE_HTML = [
+    "", "<", ">", "plain", "a<b", "&amp; &lt;x&gt;", "&unknown; &#65; &#x41;",
+    "<div>", "</div>", "<DIV CLASS='X'>t</DIV>", '<a href="x&amp;y">t</a>',
+    "<a href=x&amp;y>t</a>", "<a href=/a/b>x</a>", '<a href="a>b">t</a>',
+    "<img src='s'/>", "<br/>", "<br />", "<input value=''>", "<p><p>n</p>",
+    "<b><i>x</b></i>", "<script>if(a<b){x='</div>';}</script>ok",
+    "<script>unterminated", "<style>a{color:red}</style>",
+    "<SCRIPT>x</SCRIPT>y", "<script>a</scriptx></script>b",
+    "<script>a</script attr></script>b", "<script>a</ScRiPt >b",
+    "<!-- c -->x", "<!-->x", "<!---->y", "<!doctype html><p>x</p>",
+    "<?php ?>x", "<![CDATA[raw]]>x", "<!decl>x", "<a b=c>t</a>",
+    "<a b = 'c'>t</a>", '<a b="c"d="e">t</a>', "<a =x>t</a>", "<a/ >t</a>",
+    "<a b>t</a>", "<a 中文=值>t</a>", "<中文>x</中文>", "<div unterminated",
+    "<div a='x", "text &am", "text &amp", "tail &", "<td>a</td  >",
+    "</ div>x", "</>x", "</ >x", "<a\nhref='x'\n>t</a>",
+    '<a href="multi\nline">t</a>', "<div  class='a b'   id='c'>x</div>",
+    "<a href='x' href='y'>t</a>", "<em id=post-date>2016</em>",
+    "中文<div>文本</div>", "<div>&#20013;&#x6587;</div>",
+    "<a b='&quot;q&quot;'>t</a>", '<a title="a&apos;b">t</a>', "< div>x",
+    "<3>x", "<a b='c'>&nbsp;</a>", "<a href=''>e</a>",
+    "<style>p>a{}</style>t", "<script><div></script>t",
+]
+
+
+def test_fast_feed_parity_archetypes():
+    n = 200000
+    for i in range(0, 256):
+        html = templates.build_page(i * 251 % n, n)["html"].decode("utf-8")
+        assert _stdlib(html) == _fast(html), f"archetype page idx={i * 251 % n}"
+
+
+def test_fast_feed_parity_edge_cases():
+    for html in _EDGE_HTML:
+        assert _stdlib(html) == _fast(html), repr(html)
+
+
+def test_fast_feed_parity_fuzz():
+    import random
+
+    rng = random.Random(7)
+    frags = [
+        "<div>", "</div>", "<a href='x'>", "</a>", "text", "&amp;", "&",
+        "<", ">", "<br/>", "<script>", "</script>", "x='<i>'",
+        "<!-- c -->", "<b ", "class='y'>", "</", "!", "<p", " ", "中",
+    ]
+    for _ in range(1500):
+        html = "".join(
+            rng.choice(frags) for _ in range(rng.randint(1, 25))
+        )
+        assert _stdlib(html) == _fast(html), repr(html)
