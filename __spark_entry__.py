@@ -767,6 +767,22 @@ def ngram_jaccard_q(spark, d):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def dedup_clusters_q(spark, d):
+    """Near-dup CLUSTERS (doc_id, cluster_id=min id of the connected
+    component) over the LSH pair set — the production dedup shape (one
+    representative per duplicate group) that pair-drop only approximates.
+    Iterative min-label propagation (diameter-bounded rounds, one shuffle
+    on the pair set per round). Oracle = exact all-pairs Jaccard pairs +
+    recursive-CTE reachability closure in DuckDB; pair sets coincide at
+    the 0.5 threshold on the planted-duplicate fixtures (as verified for
+    minhash_pairs)."""
+    from dmp_crawler_spark.operators import dedup as dd
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return dd.near_dup_clusters(
+        docs, threshold=0.5, num_hashes=16, bands=8, k_shingle=3
+    ).select("doc_id", "cluster_id")
+
+
 def multimodal_features_q(spark, d):
     """Multimodal plumbing: media rows derived deterministically from the
     sf dir's documents table (doc_id < 64), decode-stubbed feature pass,
@@ -1199,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_locale_parse": c9_locale_parse,
         "ngram_jaccard": ngram_jaccard_q,
         "minhash_pairs": minhash_pairs_q,
+        "dedup_clusters": dedup_clusters_q,
         "simhash_pairs": simhash_pairs_q,
         "ivf_topk": ivf_topk_q,
         "multimodal_features": multimodal_features_q,
@@ -1827,6 +1844,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "ngram_jaccard": f"""
             WITH sh AS ({_SHINGLE_SQL})

@@ -212,6 +212,80 @@ def minhash_dedup(
     return docs.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node in `pairs`, cluster_id = min node id
+    of its connected component — the exact clustering pair-drop dedup
+    approximates.
+
+    Distributed min-label propagation: every node starts labeled with its
+    own id; each round joins labels across edges and keeps the per-node
+    min; stop when a round changes nothing. Rounds needed = graph
+    diameter, which for near-dup clusters is tiny (dup groups are dense);
+    each round is one broadcast-friendly shuffle on the (small) pair set,
+    never O(n²). localCheckpoint truncates the iterative lineage so the
+    plan stays bounded (the standard Spark CC shape, cf. GraphFrames'
+    label propagation)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # candidate label for each node: the min of its neighbors' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint()  # eager: bounds lineage AND gives a cheap agg below
+        )
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Exact near-dup clusters (doc_id, cluster_id) over the LSH pair set:
+    the production dedup shape — keep one representative per cluster
+    (cluster_id = min doc id) instead of pair-drop's per-pair decision."""
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, **kw).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    return connected_components(pairs).withColumnRenamed("id", id_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature; bit i = sign of Σ weight(token)·(±1 from
 # token hash bit i). Pure JVM: explode tokens → per-bit aggregate.

@@ -47,6 +47,30 @@ def test_minhash_dedup(docs):
     assert 1 in ids and 2 not in ids and 4 in ids and 5 in ids
 
 
+def test_connected_components_chain_and_cycle(spark):
+    # chain 1-2-3-4 plus cycle 10-11-12-10 plus isolated pair (20,21):
+    # labels must converge to the component min even across multi-hop paths
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters(docs):
+    # docs 1,2,6 are exact dups and 3 is a near-dup of 1: one cluster
+    # rooted at min id 1; everything else is untouched (absent)
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.near_dup_clusters(
+               docs, threshold=0.4, num_hashes=32, bands=16, k_shingle=3
+           ).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[6] == 1
+    assert 4 not in out and 5 not in out
+
+
 def test_simhash_near_pairs(docs):
     pairs = dedup.simhash_near_pairs(docs, max_hamming=10)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
