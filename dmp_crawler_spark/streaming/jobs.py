@@ -65,3 +65,26 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             "event_type", "n", "total_value",
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup over a document stream: first arrival of each
+    normalized-text fingerprint wins, later copies are dropped.
+
+    State is keyed by the 64-bit fingerprint only (not the text) and is
+    evicted once the watermark passes (dropDuplicatesWithinWatermark), so
+    the dedup state is O(distinct fingerprints per watermark window) — the
+    property that lets this run forever on a 100 TB/day feed, unlike an
+    unbounded dropDuplicates."""
+    from dmp_crawler_spark.functions.textstats import doc_fingerprint
+
+    return (
+        docs.withColumn("fingerprint", doc_fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -277,3 +277,50 @@ def test_search_index_sink(spark, tmp_path):
     out2 = search_sink.search(back, "hash join scan", k=3).collect()
     assert [r["id"] for r in out2] == [1, 5, 3]
     spark.sql("DROP TABLE t_search_idx_test")
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First arrival of each fingerprint wins; later copies (same batch or
+    a later batch inside the watermark) are dropped; distinct texts pass."""
+    import json as _json
+    import os
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (mtime, mtime))
+
+    day = "2016-05-01"
+    write("d1.json", [
+        {"doc_id": 1, "ts": f"{day} 09:00:00", "text": "alpha beta gamma"},
+        {"doc_id": 2, "ts": f"{day} 09:01:00", "text": "alpha   beta  gamma"},
+        {"doc_id": 3, "ts": f"{day} 09:02:00", "text": "something else"},
+    ], 1_000_000_000)
+    write("d2.json", [
+        {"doc_id": 4, "ts": f"{day} 09:10:00", "text": "Alpha Beta Gamma"},
+        {"doc_id": 5, "ts": f"{day} 09:11:00", "text": "a fresh document"},
+    ], 1_000_000_010)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = jobs.streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    )
+    # doc 2 (whitespace-normalized dup of 1, same batch) and doc 4
+    # (case-normalized dup of 1, later batch) are dropped
+    assert ids == [1, 3, 5]
