@@ -38,7 +38,9 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   fingerprint_dedup   rolling-hash document fingerprint dedup
   lang_id / quality_score / token_counts  text analysis
   dedup_exact_norm    exact dedup on normalized text
-  ann_topk / embedding_near_pairs  similarity search
+  minhash_pairs / simhash_pairs / ngram_jaccard  near-dup pair sets
+  dedup_clusters      connected-components near-dup clustering
+  ann_topk / ivf_topk / embedding_near_pairs  similarity search
   event_hourly / event_gaps  event-time analytics (streaming batch form)
 Rows-only (non-SQL-expressible): crawl_engine_smoke (iterative, stateful,
   checkpointed) — every other queries() entry has a full DuckDB oracle.
@@ -662,6 +664,70 @@ def s7_static_table(spark, d):
     )
 
 
+# Weather2345.txt-style JS-array lines (S6), a fixed literal corpus so the
+# Spark text-scan+regex parse and the DuckDB regexp parse work the same
+# input independently (…/crawler/tianqi/weather2345/Weather2345.java:94-182)
+_S6_LINES = [
+    'an[54094]=["0","北京|beijing|054094"];',
+    'an[54511]=["1","海淀|haidian|054511"];',
+    "junk line without a match",
+    'an[58367]=["0","上海|shanghai|058367"];',
+    'an[58457]=["1","杭州|hangzhou|058457"];',
+    "var done = true;",
+    'an[59287]=["0","广州|guangzhou|059287"];',
+]
+
+
+def s6_flat_file_scan(spark, d):
+    """S6 flat-file scan: spark.read.text over a JS-array dictionary file,
+    fields pulled out with regexp_extract — the Weather2345 parse
+    (Weather2345.java:94-182) as a declarative scan instead of a
+    BufferedReader loop. The file is materialized from the fixed literal
+    corpus; the oracle parses the same lines from inline VALUES."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="s6_flat_")
+    path = f"{tmp}/weather.txt"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(_S6_LINES))
+    return (
+        spark.read.text(path)
+        .select(
+            F.regexp_extract("value", r"an\[(\d+)\]", 1).alias("code"),
+            F.regexp_extract("value", r'"\d+","([^|]+)\|', 1).alias("name"),
+            F.regexp_extract("value", r"\|([a-z]+)\|", 1).alias("pinyin"),
+        )
+        .filter(F.col("code") != "")
+    )
+
+
+def s8_merge_latest(spark, d):
+    """S8 wide-column put sink semantics end-to-end: build a (rowkey,
+    family, cols map, crawl_iter) write log from orders, apply
+    merge_latest (HBase put-overwrite: newest write per rowkey+family
+    wins; o_orderkey is unique so the winner is deterministic), then
+    pivot the map back to typed columns (sinks/tables.py)."""
+    from dmp_crawler_spark.sinks import tables as sink
+
+    orders = _t(spark, d, "orders")
+    log = orders.select(
+        F.col("o_custkey").cast("string").alias("rowkey"),
+        F.lit("order_info").alias("family"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ).alias("cols"),
+        F.col("o_orderkey").alias("crawl_iter"),
+    )
+    merged = sink.merge_latest(log)
+    return merged.select(
+        "rowkey",
+        F.element_at("cols", "status").alias("status"),
+        F.element_at("cols", "priority").alias("priority"),
+        F.col("crawl_iter").alias("last_orderkey"),
+    )
+
+
 def event_sessionize(spark, d):
     """Session windows in batch form (30-min inactivity gap): the stateful
     sessionization a training-data pipeline needs; cumulative-sum session ids,
@@ -1205,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_misc_scalars": c_misc_scalars,
         "c19_script_json": c19_script_json,
         "s7_static_table": s7_static_table,
+        "s6_flat_file_scan": s6_flat_file_scan,
+        "s8_merge_latest": s8_merge_latest,
         "event_sessionize": event_sessionize,
         "fingerprint_dedup": fingerprint_dedup,
         "c24_fragment_fold": c24_fragment_fold,
@@ -1562,6 +1630,33 @@ def oracle_sql() -> dict[str, str]:
                                       'var config = (\\{.*?\\});', 1),
                        '$.k') AS cfg_k
             FROM events
+        """,
+        "s6_flat_file_scan": """
+            WITH raw(value) AS (VALUES
+                ('an[54094]=["0","北京|beijing|054094"];'),
+                ('an[54511]=["1","海淀|haidian|054511"];'),
+                ('junk line without a match'),
+                ('an[58367]=["0","上海|shanghai|058367"];'),
+                ('an[58457]=["1","杭州|hangzhou|058457"];'),
+                ('var done = true;'),
+                ('an[59287]=["0","广州|guangzhou|059287"];'))
+            SELECT regexp_extract(value, 'an\[(\d+)\]', 1) AS code,
+                   regexp_extract(value, '"\d+","([^|]+)\|', 1) AS name,
+                   regexp_extract(value, '\|([a-z]+)\|', 1) AS pinyin
+            FROM raw
+            WHERE regexp_extract(value, 'an\[(\d+)\]', 1) <> ''
+        """,
+        "s8_merge_latest": """
+            SELECT rowkey, status, priority, last_orderkey FROM (
+                SELECT CAST(o_custkey AS VARCHAR) AS rowkey,
+                       o_orderstatus AS status,
+                       o_orderpriority AS priority,
+                       o_orderkey AS last_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_custkey ORDER BY o_orderkey DESC
+                       ) AS rn
+                FROM orders)
+            WHERE rn = 1
         """,
         "s7_static_table": f"""
             WITH ins(idx, ins_name, ins_type) AS (
