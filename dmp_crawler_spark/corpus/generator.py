@@ -182,7 +182,7 @@ class GeneratorFetcher:
                 for meta in pdf.to_dict("records"):
                     idx = int(meta["url"].rsplit("/", 1)[-1].replace(".html", ""))
                     page = templates.build_page(idx, n)
-                    html = page["html"].decode("utf-8")
+                    html = page["html_str"]
                     # kind='page' rows are the pages-table landing (north
                     # star: fetched pages land in an Iceberg table with a
                     # boilerplate-stripped text column); html bytes are

@@ -941,6 +941,10 @@ def build_page(idx: int, n_urls: int) -> dict:
         "url": url_for(idx, n_urls),
         "warc_ts": warc_ts_for(idx),
         "html": html.encode("utf-8"),
+        # the decoded form, for in-worker consumers (the fused fetch pass
+        # parses the page it just built — the utf-8 encode→decode round
+        # trip on a 30-100KB page is two avoidable validate+copy passes)
+        "html_str": html,
         "text": text,
         "lang": lang_for(idx),
         "archetype": arch,
