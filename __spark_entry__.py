@@ -1631,7 +1631,7 @@ def oracle_sql() -> dict[str, str]:
                        '$.k') AS cfg_k
             FROM events
         """,
-        "s6_flat_file_scan": """
+        "s6_flat_file_scan": r"""
             WITH raw(value) AS (VALUES
                 ('an[54094]=["0","北京|beijing|054094"];'),
                 ('an[54511]=["1","海淀|haidian|054511"];'),
