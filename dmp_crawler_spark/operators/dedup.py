@@ -397,12 +397,17 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
+    # sh appears on BOTH sides of the exact-jaccard join below; uncached,
+    # the shingle projection + semi-join runs twice per action (measured
+    # ~2× the whole query's warm cost at sf0.1). The set is tiny —
+    # candidate docs only — so cache it like cand
+    sh = _cache_evicting(
         docs.select(F.col(id_col).alias("id"), text_col)
         .join(ids, "id", "left_semi")
         .select(
             "id", F.array_distinct(shingles(text_col, k_shingle)).alias("sh")
-        )
+        ),
+        "sh",
     )
     j = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
