@@ -383,14 +383,25 @@ class _Builder(HTMLParser):
 # a malformed-html battery in tests/test_extractors.py.
 
 from html import unescape as _unescape  # noqa: E402  (stdlib html package)
-from html.parser import (  # noqa: E402  — the stdlib's tolerant grammar
-    attrfind_tolerant as _attrfind,
-    commentclose as _commentclose,
-    endtagfind as _endtagfind,
-    locatestarttagend_tolerant as _locatestart,
-    piclose as _piclose,
-    tagfind_tolerant as _tagfind,
-)
+
+# The tolerant-grammar regexes are undocumented html.parser internals
+# (verified against CPython 3.11's module); a future CPython may remove or
+# rename them, so their absence must degrade to the public HTMLParser
+# drive (ADVICE r03), keeping _fast_feed an optimization rather than a
+# hard dependency on stdlib internals.
+try:
+    from html.parser import (  # noqa: E402  — the stdlib's tolerant grammar
+        attrfind_tolerant as _attrfind,
+        commentclose as _commentclose,
+        endtagfind as _endtagfind,
+        locatestarttagend_tolerant as _locatestart,
+        piclose as _piclose,
+        tagfind_tolerant as _tagfind,
+    )
+
+    _HAVE_TOLERANT_GRAMMAR = True
+except ImportError:  # pragma: no cover — exercised via test monkeypatch
+    _HAVE_TOLERANT_GRAMMAR = False
 
 # one regex per well-formed start tag: name + zero or more
 # double-quoted/single-quoted/bare attributes without entities, optional
@@ -581,6 +592,15 @@ def _fast_feed(rawdata: str, h) -> None:
                 handle_data("<")  # final-flush path emits the lone '<'
                 i = n
     return
+
+
+if not _HAVE_TOLERANT_GRAMMAR:
+
+    def _fast_feed(rawdata: str, h) -> None:  # noqa: F811 — documented fallback
+        """Tolerant-grammar internals unavailable: drive the SAME builder
+        through the public HTMLParser API (identical events, slower)."""
+        h.feed(rawdata or "")
+        h.close()
 
 
 def _flush_incomplete(rawdata: str, i: int, handle_data) -> int:

@@ -16,7 +16,7 @@ DataFrames; everything except the hash math is built-in Column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import threading
@@ -31,8 +31,19 @@ from dmp_crawler_spark.functions.textstats import doc_fingerprint, shingles
 # referenced 3× in ngram_jaccard_pairs' plan — exact-jaccard joins + the
 # candidate-doc semi-join — so an uncached plan recomputes the banded
 # self-join three times per action).
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+# value = (session, DataFrame): the strong session ref means id() cannot
+# be reused while an entry lives (no dead-session aliasing), and the purge
+# below bounds the cache to live sessions (ADVICE r03: entries for stopped
+# sessions leaked for the process lifetime).
+_SIG_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 _SIG_CACHE_LOCK = threading.Lock()
+
+
+def _session_stopped(sess: SparkSession) -> bool:
+    try:
+        return sess._sc._jsc.sc().isStopped()
+    except Exception:
+        return True  # no reachable JVM context == unusable == stopped
 
 
 def _cache_evicting(df: DataFrame, slot: str) -> DataFrame:
@@ -41,16 +52,19 @@ def _cache_evicting(df: DataFrame, slot: str) -> DataFrame:
     Spark's cache manager shares one entry and unpersisting the old handle
     would evict the data the new call is about to reuse."""
     df = df.cache()
-    skey = (id(df.sparkSession), slot)
+    sess = df.sparkSession
+    skey = (id(sess), slot)
     with _SIG_CACHE_LOCK:
+        for k in [k for k, (s, _) in _SIG_CACHE.items() if _session_stopped(s)]:
+            _SIG_CACHE.pop(k, None)
         prev = _SIG_CACHE.get(skey)
         if prev is not None:
             try:
-                if not df.sameSemantics(prev):
-                    prev.unpersist(blocking=False)
+                if not df.sameSemantics(prev[1]):
+                    prev[1].unpersist(blocking=False)
             except Exception:
                 pass
-        _SIG_CACHE[skey] = df
+        _SIG_CACHE[skey] = (sess, df)
     return df
 
 
@@ -243,6 +257,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    n_changed = 0
     for _ in range(max_iters):
         # candidate label for each node: the min of its neighbors' labels
         nbr = (
@@ -267,6 +282,16 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if n_changed > 0:
+        # A component whose min-id node has eccentricity > max_iters would
+        # otherwise return plausible-but-wrong cluster_ids; make that loud
+        # (ADVICE r03). Near-dup components are dense (tiny diameter), so
+        # hitting this means the input is not the expected pair shape.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds ({n_changed} labels still changing); raise max_iters "
+            "for graphs with diameter > max_iters"
+        )
     return labels
 
 

@@ -136,3 +136,34 @@ def test_fast_feed_parity_fuzz():
             rng.choice(frags) for _ in range(rng.randint(1, 25))
         )
         assert _stdlib(html) == _fast(html), repr(html)
+
+
+def test_fallback_without_tolerant_grammar(monkeypatch):
+    """If a future CPython drops the undocumented html.parser tolerant
+    regexes, the module must still import and parse identically via the
+    public HTMLParser drive (ADVICE r03)."""
+    import builtins
+    import importlib.util
+
+    from dmp_crawler_spark.extractors import htmlmini as orig
+
+    real_import = builtins.__import__
+
+    def no_private(name, globals=None, locals=None, fromlist=(), level=0):
+        if name == "html.parser" and fromlist and "attrfind_tolerant" in fromlist:
+            raise ImportError("simulated removal of private grammar")
+        return real_import(name, globals, locals, fromlist, level)
+
+    monkeypatch.setattr(builtins, "__import__", no_private)
+    spec = importlib.util.spec_from_file_location(
+        "htmlmini_fallback_under_test", orig.__file__
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._HAVE_TOLERANT_GRAMMAR is False
+    n = 200000
+    for i in range(0, 64):
+        html = templates.build_page(i * 251 % n, n)["html"].decode("utf-8")
+        assert mod.parse_with_text(html)[1] == orig.parse_with_text(html)[1]
+    for html in _EDGE_HTML:
+        assert mod.jsoup_text(html) == orig.jsoup_text(html), repr(html)
