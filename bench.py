@@ -37,8 +37,20 @@ BENCH_QUERIES = [
     "fingerprint_dedup",
     "minhash_pairs",
     "simhash_pairs",
+    "simhash_pairs_oracle",
     "ngram_jaccard",
 ]
+
+# bench-name -> queries()-name/alternate-callable indirection:
+# "simhash_pairs" here is the PRODUCTION xxhash64 path (entrymod.
+# simhash_pairs_default, no SQL oracle so not a queries() entry);
+# "simhash_pairs_oracle" is the md5 oracle-parity variant the correctness
+# gate runs (its md5 hash is the dominant cost — keep both visible so the
+# headline reflects the default path, VERDICT r03 item 3).
+_QUERY_OVERRIDES = {
+    "simhash_pairs": "simhash_pairs_default",
+    "simhash_pairs_oracle": "simhash_pairs",
+}
 
 CRAWL_N_URLS = int(os.environ.get("BENCH_CRAWL_URLS", "200000"))
 CRAWL_N_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "10000"))
@@ -82,8 +94,10 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     for _ in range(max(1, repeats)):
         for name in BENCH_QUERIES:
+            target = _QUERY_OVERRIDES.get(name, name)
+            fn = qs.get(target) or getattr(entrymod, target)
             t0 = time.monotonic()
-            _materialize(qs[name](spark, sf_dir))
+            _materialize(fn(spark, sf_dir))
             sec = round(time.monotonic() - t0, 3)
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
