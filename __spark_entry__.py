@@ -814,14 +814,29 @@ def simhash_pairs_q(spark, d):
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def simhash_pairs_default(spark, d):
+    """The PRODUCTION simhash path: library-default xxhash64 token hash,
+    full 64 bits. Not in queries() — xxhash64 has no DuckDB replica, so
+    there is no SQL oracle; it exists so bench.py measures the path users
+    actually run (VERDICT r03: the suite's simhash number was the
+    deliberately-slow md5 oracle-parity variant only). Same banded plan;
+    only the per-token hash expression differs."""
+    from dmp_crawler_spark.operators import dedup as dd
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    return dd.simhash_near_pairs(docs, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def ivf_topk_q(spark, d):
     """IVF top-k through the full index machinery (probe ordering, cell
     join, per-query ranking), verified against the exact DuckDB top-k.
     n_probe=8 of 8 cells: the fixture embeddings are uniform random 64-dim
     vectors, where near-neighbours do NOT concentrate in coarse cells, so
     any pruning loses recall (verified: n_probe<8 drops true top-5 members
-    at sf0.001). The recall/pruning trade-off at lower n_probe is covered
-    by the pytest recall test (tests/test_operators.py)."""
+    at sf0.001). Real pruning is exercised oracle-exact by ivf_topk_pruned
+    (n_probe=2 of 8 on a clustered synth corpus); the recall/pruning
+    trade-off is also covered by pytest (tests/test_operators.py)."""
     from dmp_crawler_spark.operators import similarity as sim
     emb = _t(spark, d, "embeddings")
     q = emb.filter(F.col("vec_id") < 2).select(
@@ -829,6 +844,46 @@ def ivf_topk_q(spark, d):
     )
     indexed, centroids = sim.build_ivf_index(emb, n_cells=8)
     out = sim.ivf_topk(indexed, centroids, q, k=5, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def ivf_topk_pruned(spark, d):
+    """IVF top-k with REAL pruning exercised oracle-exact (VERDICT r03
+    item 5): n_probe=2 of 8 cells, so the cell join touches 25% of the
+    corpus, and the result still equals the exact DuckDB top-k. The
+    uniform-random fixture embeddings have no cell locality, so a
+    clustered corpus is synthesized deterministically from vec_id: cluster
+    c = vec_id % 8, vector = 10·(axis-set c) + small arithmetic jitter —
+    within-cluster cosine ≈ 1, cross-cluster ≈ 0, hence every true top-5
+    lives in the query's own cluster and probing that cluster's cell
+    first (plus one spare) is provably lossless. Centroids are the 8
+    exact cluster directions via build_ivf_index's pre-trained-quantizer
+    path; the library still does probe ordering, the cell join, and
+    per-query ranking."""
+    from dmp_crawler_spark.operators import similarity as sim
+
+    vid = F.col("vec_id").cast("bigint")
+    jitter = lambda j: (((vid * 31 + j * 7) % 19) / 19.0 - 0.5)  # noqa: E731
+    clustered = _t(spark, d, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.when(j % 8 == vid % 8, F.lit(10.0)).otherwise(F.lit(0.0))
+                + jitter(j.cast("bigint"))
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    centroids = [
+        [10.0 if j % 8 == c else 0.0 for j in range(64)] for c in range(8)
+    ]
+    q = clustered.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    indexed, cents = sim.build_ivf_index(clustered, n_cells=8, centroids=centroids)
+    out = sim.ivf_topk(indexed, cents, q, k=5, n_probe=2)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -1104,6 +1159,69 @@ def weather_import(spark, d):
     )
 
 
+def chinaweather_import(spark, d):
+    """Composed runner job: chinaweather city-code import (chinaweather/
+    Application.java:52-138): province provshi JSON walk → station JSON
+    walk → AreaPojo registry → 4-appCode fan-out → wide rows with the
+    full_name rule. Provinces come from nation (101%02d codes); both
+    fetchers synthesize flat-JSON payloads as Column expressions, with
+    empty-payload gates at each level (every 7th province, every 5th
+    city), variable city/station counts, and a station named exactly like
+    its parent city (every city_code % 3 == 0) so full_name is exercised
+    both ways. DuckDB replays the identical pipeline arithmetically."""
+    from jobs import chinaweather_import as cw
+
+    nation = _t(spark, d, "nation")
+    n = F.col("n_nationkey").cast("int")
+    provinces = nation.select(
+        F.format_string("101%02d", n).alias("province"), n.alias("n")
+    )
+
+    def province_fetcher(reqs):
+        # {key: cityName} with 1 + n%3 entries; cityName = 城市+cityCode
+        def frag(k):
+            return F.concat(
+                F.lit(f'"0{k}":"城市'), F.col("province"), F.lit(f'0{k}"')
+            )
+
+        cnt = 1 + (F.col("n") % 3)
+        payload = F.when(F.col("n") % 7 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("{"), frag(1),
+                F.when(cnt >= 2, F.concat(F.lit(","), frag(2))).otherwise(F.lit("")),
+                F.when(cnt >= 3, F.concat(F.lit(","), frag(3))).otherwise(F.lit("")),
+                F.lit("}"),
+            )
+        )
+        return reqs.withColumn("payload", payload)
+
+    def station_fetcher(reqs):
+        # {k: stationName} with 1 + city%2 entries; station 01 of every
+        # city_code%3==0 city reuses the parent city name (full_name
+        # collapse case); every 5th city returns an empty payload
+        ci = F.col("city_code").cast("bigint")
+        name1 = F.when(ci % 3 == 0, F.col("city_name")).otherwise(
+            F.concat(F.lit("站"), F.col("city_code"), F.lit("01"))
+        )
+        s1 = F.concat(F.lit('"01":"'), name1, F.lit('"'))
+        s2 = F.concat(F.lit(',"02":"站'), F.col("city_code"), F.lit('02"'))
+        payload = F.when(ci % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("{"), s1,
+                F.when(1 + (ci % 2) >= 2, s2).otherwise(F.lit("")),
+                F.lit("}"),
+            )
+        )
+        return reqs.withColumn("payload", payload)
+
+    rows = cw.run_import(provinces, province_fetcher, station_fetcher)
+    return rows.select(
+        "rowkey",
+        *[F.element_at("cols", f).alias(f)
+          for f in ["code", "name", "parent_code", "parent_name", "full_name"]],
+    )
+
+
 def s9_search_index(spark, d):
     """S9 Solr-sink analog: build the (term, id, tf) posting table over
     documents and run a ranked term-match search ('hash join scan') —
@@ -1268,6 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "ivf_topk": ivf_topk_q,
+        # --- new this round ---
+        "chinaweather_import": chinaweather_import,
+        "ivf_topk_pruned": ivf_topk_pruned,
         # --- single-green (first row in r03) ---
         "s6_flat_file_scan": s6_flat_file_scan,
         "s8_merge_latest": s8_merge_latest,
@@ -1916,6 +2037,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE name END AS full_name
             FROM joined
         """,
+        "chinaweather_import": """
+            WITH prov AS (
+                SELECT CAST(n_nationkey AS INT) AS n,
+                       printf('101%02d', CAST(n_nationkey AS INT)) AS province
+                FROM nation
+                WHERE CAST(n_nationkey AS INT) % 7 <> 0
+            ), city AS (
+                SELECT province || printf('0%d', k) AS city_code,
+                       '城市' || province || printf('0%d', k) AS city_name
+                FROM prov, generate_series(1, 3) AS g(k)
+                WHERE k <= 1 + (n % 3)
+            ), station AS (
+                SELECT city_code || printf('0%d', sk) AS code,
+                       CASE WHEN sk = 1
+                                 AND CAST(city_code AS BIGINT) % 3 = 0
+                            THEN city_name
+                            ELSE '站' || city_code || printf('0%d', sk)
+                       END AS name,
+                       city_code AS parent_code,
+                       city_name AS parent_name
+                FROM city, generate_series(1, 2) AS g(sk)
+                WHERE CAST(city_code AS BIGINT) % 5 <> 0
+                  AND sk <= 1 + (CAST(city_code AS BIGINT) % 2)
+            )
+            SELECT ac.app_code || '_' || code AS rowkey, code, name,
+                   parent_code, parent_name,
+                   CASE WHEN name <> parent_name
+                        THEN parent_name || ',' || name
+                        ELSE name END AS full_name
+            FROM station,
+                 (VALUES ('00050012'), ('00050014'),
+                         ('00050018'), ('00050019')) AS ac(app_code)
+        """,
         "s9_search_index": """
             WITH toks AS (
                 SELECT doc_id,
@@ -2042,6 +2196,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine, rank FROM (
                 SELECT *, CAST(row_number() OVER (
                     PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # the same clustered synth (cluster = vec_id % 8, 10·axis-set +
+        # jitter), brute-force exact top-5 — the Spark side prunes to
+        # n_probe=2 of 8 cells and must still match this exactly
+        "ivf_topk_pruned": """
+            WITH vecs AS (
+                SELECT vec_id,
+                       [ (CASE WHEN j % 8 = vec_id % 8
+                               THEN 10.0 ELSE 0.0 END)
+                         + ((vec_id * 31 + j * 7) % 19) / 19.0 - 0.5
+                         FOR j IN generate_series(0, 63) ] AS v
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 4
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.v, q.qv) AS raw
+                FROM vecs e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(raw, 6) AS cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id ORDER BY raw DESC, vec_id) AS INT) AS rank
                 FROM scored
             ) WHERE rank <= 5
         """,
