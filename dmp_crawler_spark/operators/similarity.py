@@ -56,18 +56,30 @@ def build_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> tuple[DataFrame, list]:
-    """Assign every vector to its nearest of n_cells hash-sampled centroid
-    vectors. Returns (indexed corpus with `cell` column, centroids list).
-    Deterministic: centroids are the corpus vectors with the n_cells
-    smallest xxhash64(id) values (a seeded sample, no RNG state)."""
-    sampled = (
-        corpus.select(id_col, vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [list(r[vec_col]) for r in sampled]
+    """Assign every vector to its nearest of n_cells centroid vectors.
+    Returns (indexed corpus with `cell` column, centroids list).
+    Deterministic: by default centroids are the corpus vectors with the
+    n_cells smallest xxhash64(id) values (a seeded sample, no RNG state);
+    pass `centroids` to use a pre-trained coarse quantizer instead (the
+    FAISS-style split between training the quantizer and building the
+    inverted file — at 10^10 vectors the quantizer is trained once on a
+    sample and reused across index rebuilds)."""
+    if centroids is None:
+        sampled = (
+            corpus.select(
+                id_col, vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h")
+            )
+            .orderBy("h")
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [list(r[vec_col]) for r in sampled]
+    elif len(centroids) != n_cells:
+        raise ValueError(
+            f"{len(centroids)} pre-trained centroids != n_cells={n_cells}"
+        )
     cent_col = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])

@@ -224,3 +224,41 @@ def test_multimodal_strict_raises(spark):
     media = multimodal.generate_media(spark, 3)
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, strict=True)
+
+
+def test_ivf_pretrained_centroids_exact_pruned(spark):
+    """Pre-trained quantizer path (build_ivf_index(centroids=...)): with
+    well-separated clusters and cluster-direction centroids, n_probe=1 of
+    4 cells is lossless — the pruned result equals brute force exactly."""
+    import math
+    rows = []
+    for i in range(48):
+        c = i % 4
+        vec = [
+            (10.0 if j == c else 0.0) + ((i * 31 + j * 7) % 19) / 19.0 - 0.5
+            for j in range(8)
+        ]
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [[10.0 if j == c else 0.0 for j in range(8)] for c in range(4)]
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(corpus, q, k=5)
+    indexed, cents = similarity.build_ivf_index(corpus, n_cells=4, centroids=centroids)
+    # every vector must land in its own cluster's cell
+    cells = indexed.select("vec_id", "cell").collect()
+    assert all(r["cell"] == r["vec_id"] % 4 + 1 for r in cells)
+    pruned = similarity.ivf_topk(indexed, cents, q, k=5, n_probe=1)
+    e = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in pruned.collect()}
+    assert e == a  # lossless despite touching 1/4 of the corpus
+
+
+def test_ivf_pretrained_centroid_count_mismatch(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest
+    with pytest.raises(ValueError):
+        similarity.build_ivf_index(corpus, n_cells=4, centroids=[[1.0, 0.0]])
