@@ -67,6 +67,11 @@ class GeneratorFetcher:
     for the N-vs-4N scaling evidence; CorpusFetcher remains the fixture
     for fetch-miss/retry tests."""
 
+    # contract: kind='link' out_url values are already resolved (urljoin)
+    # AND normalized (py_normalize_url ≡ normalize_url, parity-tested) —
+    # the scheduler skips its per-link resolve+normalize pass
+    links_normalized = True
+
     def __init__(self, spark: SparkSession, n_urls: int):
         self.spark = spark
         self.n_urls = n_urls
@@ -150,6 +155,48 @@ class GeneratorFetcher:
         def gen(batches):
             import pandas as pd
 
+            from dmp_crawler_spark.frontier.urlnorm import py_normalize_url
+
+            # link rows dominate the output volume (~40×/page): carry only
+            # (url=src, out_url, depth) and pre-combine duplicate edges
+            # map-side — the Python analog of a partial aggregate before
+            # the shuffle. The combine keys on the RESOLVED absolute URL
+            # (urljoin — parity-tested vs resolve_link in
+            # tests/test_frontier.py): keying on the raw href would merge
+            # directory-relative hrefs from different source directories
+            # and silently drop a discoverable URL (ADVICE r01). The
+            # window is the whole PARTITION, not one Arrow batch: at the
+            # default 256-row batches a per-batch dict only spans 256
+            # pages and popular cross-page links survive ~7× (measured
+            # 800k vs 560k link rows/iteration at bench scale). Bounded:
+            # past _LINK_FLUSH entries the dict is flushed as a partial
+            # frame, so executor memory never scales with partition size.
+            from urllib.parse import urljoin
+
+            _LINK_FLUSH = 2_000_000
+            link_min_depth: dict[str, tuple] = {}
+
+            def links_frame():
+                # normalize ONCE PER UNIQUE link at flush time (the
+                # links_normalized contract: downstream skips its
+                # resolve+normalize pass entirely), re-combining keys
+                # that normalization collapses
+                norm_min: dict[str, tuple] = {}
+                for raw, (src, d) in link_min_depth.items():
+                    key = py_normalize_url(raw)
+                    prev = norm_min.get(key)
+                    if prev is None or d < prev[1]:
+                        norm_min[key] = (src, d)
+                n_links = len(norm_min)
+                link_cols: dict[str, list] = {
+                    c: [None] * n_links for c in meta_fields + extra
+                }
+                link_cols["out_url"] = list(norm_min.keys())
+                link_cols["url"] = [s for s, _ in norm_min.values()]
+                link_cols["depth"] = [d for _, d in norm_min.values()]
+                link_cols["kind"] = ["link"] * n_links
+                return pd.DataFrame(link_cols, columns=meta_fields + extra)
+
             for pdf in batches:
                 rows: dict[str, list] = {c: [] for c in meta_fields + extra}
 
@@ -165,19 +212,6 @@ class GeneratorFetcher:
                     rows["anchor"].append(anchor)
                     rows["lang"].append(lang)
                     rows["text"].append(text)
-
-                # link rows dominate the output volume (~40×/page): carry
-                # only (url=src, out_url, depth) and pre-combine duplicate
-                # edges map-side — the Python analog of a partial aggregate
-                # before the shuffle. The combine keys on the RESOLVED
-                # absolute URL (urljoin — parity-tested vs resolve_link in
-                # tests/test_frontier.py): keying on the raw href would
-                # merge directory-relative hrefs from different source
-                # directories and silently drop a discoverable URL
-                # (ADVICE r01).
-                from urllib.parse import urljoin
-
-                link_min_depth: dict[str, tuple] = {}
 
                 for meta in pdf.to_dict("records"):
                     idx = int(meta["url"].rsplit("/", 1)[-1].replace(".html", ""))
@@ -199,22 +233,16 @@ class GeneratorFetcher:
                         emit(meta, "result", rowkey=r["rowkey"],
                              family=r["family"], cols=r["cols"])
 
-                base = pd.DataFrame(rows, columns=meta_fields + extra)
-                if not link_min_depth:
-                    yield base
-                    continue
-                # link rows are built column-at-once (~1M rows/iteration at
-                # bench scale — a per-row emit() here costs whole seconds)
-                n_links = len(link_min_depth)
-                link_cols: dict[str, list] = {
-                    c: [None] * n_links for c in meta_fields + extra
-                }
-                link_cols["out_url"] = list(link_min_depth.keys())
-                link_cols["url"] = [s for s, _ in link_min_depth.values()]
-                link_cols["depth"] = [d for _, d in link_min_depth.values()]
-                link_cols["kind"] = ["link"] * n_links
-                links = pd.DataFrame(link_cols, columns=meta_fields + extra)
-                yield pd.concat([base, links], ignore_index=True)
+                # page/result rows are yielded per batch (bounded memory);
+                # link rows accumulate across the partition and land as
+                # their own frame(s) below
+                yield pd.DataFrame(rows, columns=meta_fields + extra)
+                if len(link_min_depth) >= _LINK_FLUSH:
+                    yield links_frame()
+                    link_min_depth.clear()
+
+            if link_min_depth:
+                yield links_frame()
 
         width = self.spark.sparkContext.defaultParallelism
         return admitted.repartition(width, "url").mapInPandas(gen, out_schema)

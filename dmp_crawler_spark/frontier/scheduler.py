@@ -569,14 +569,20 @@ class CrawlEngine:
         # of magnitude at scale.
         if fused:
             # fused link rows already carry the parent depth (partial
-            # combine done map-side in the fetch worker) — no join needed
+            # combine done map-side in the fetch worker) — no join needed.
+            # Fetchers with links_normalized=True emit out_url already
+            # resolved + normalized (py_normalize_url parity contract), so
+            # the resolve+normalize regex stack is skipped on the full
+            # link volume — it would otherwise run ~10 regexes per link
+            # row before the dedup shuffle.
+            link_rows = combined.filter(F.col("kind") == "link")
+            if getattr(self.fetcher, "links_normalized", False):
+                out = F.col("out_url")
+            else:
+                out = normalize_url(resolve_link("url", "out_url"))
             uniq_links = (
-                combined.filter(F.col("kind") == "link")
-                .select(
-                    normalize_url(resolve_link("url", "out_url")).alias("out"),
-                    F.col("depth").alias("parent_depth"),
-                )
-                .withColumnRenamed("out", "url")
+                link_rows
+                .select(out.alias("url"), F.col("depth").alias("parent_depth"))
                 .filter(~F.col("url").rlike(EXT_BLACKLIST))
                 .groupBy("url")
                 .agg(F.min("parent_depth").alias("parent_depth"))

@@ -100,6 +100,34 @@ def resolve_link(src: Column | str, href: Column | str) -> Column:
     return _normalize_dots(joined)
 
 
+import re as _re
+
+_PY_SCHEME_HOST = _re.compile(r"^(https?://[^/]+)")
+_PY_P80 = _re.compile(r"^(http://[^/:]+):80(?=/|\?|$)")
+_PY_P443 = _re.compile(r"^(https://[^/:]+):443(?=/|\?|$)")
+
+
+def py_normalize_url(url: str) -> str:
+    """Pure-Python replica of normalize_url, for fetch workers that emit
+    pre-normalized links (GeneratorFetcher's links_normalized contract) so
+    the scheduler's link pipeline can skip the resolve+normalize regex
+    stack on the full link volume. Byte-identical to the Column version
+    on scheme-ful URLs without embedded newlines (property-tested in
+    tests/test_frontier.py); a newline inside a URL would diverge (Java
+    `.` / `$` are line-aware) but the href scanner never emits one."""
+    i = url.find("#")
+    if i >= 0:
+        url = url[:i]
+    if url.endswith("?"):
+        url = url[:-1]
+    m = _PY_SCHEME_HOST.match(url)
+    if m:
+        url = m.group(1).lower() + url[m.end():]
+    url = _PY_P80.sub(r"\1", url)
+    url = _PY_P443.sub(r"\1", url)
+    return url
+
+
 def with_url_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach (host, host_hash) — the engine's partition key columns."""
     return df.withColumn("host", host_of(url_col)).withColumn(

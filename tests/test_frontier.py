@@ -591,3 +591,33 @@ def test_bloom_full_rebuild_trigger(spark, corpus_path, tmp_path):
     for it, url in sim.state.visit_order:
         sim_visits.setdefault(it, set()).add(url)
     assert _visit_sets(engine) == sim_visits
+
+
+def test_py_normalize_url_parity(spark):
+    """py_normalize_url (the fetch-worker replica behind the
+    links_normalized contract) must be byte-identical to the Column
+    normalize_url over every URL shape the href scanner can produce:
+    case, ports, fragments, trailing '?', userinfo-ish hosts, and the
+    urljoin outputs of the resolve parity matrix."""
+    from urllib.parse import urljoin
+
+    from dmp_crawler_spark.frontier.urlnorm import py_normalize_url
+
+    urls = [
+        "http://A.Com/x/y.html", "http://a.com:80/x", "http://a.com:80",
+        "https://a.com:443/x?q=1", "http://a.com:8080/x",
+        "https://a.com:80/x", "HTTP://UP.Example.COM/Path/File.HTML",
+        "http://a.com/x?", "http://a.com/x??", "http://a.com/x?#f",
+        "http://a.com/x#f#g", "http://a.com/#", "http://a.com",
+        "http://a.com/", "https://B.com/p?Q=Mixed#Frag",
+        "http://h:80x/y", "http://a.com:443/x", "ftp://weird/scheme",
+        "no-scheme/rel.html", "http://a.com/%7Euser/page.html?a=1&b=2",
+    ]
+    srcs = ["http://a.com/x/y.html", "https://b.com:443/p/q/r?z=1#m"]
+    hrefs = ["z.html", "../z.html", "//c.com/d", "http://C.com:80/e",
+             "?q=2", "#frag", "", "..", "./"]
+    urls += [urljoin(s, h) for s in srcs for h in hrefs]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["got"] for r in df.select(normalize_url("url").alias("got")).collect()]
+    for u, expected in zip(urls, got):
+        assert py_normalize_url(u) == expected, (u, py_normalize_url(u), expected)
