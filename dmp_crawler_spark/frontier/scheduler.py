@@ -29,7 +29,10 @@ Design for 10^10 URLs (the north rule):
 
 At production scale the parquet state dirs become Iceberg tables (append
 = snapshot commit, frontier rewrite = MERGE); the layout below keeps the
-same commit semantics on a plain filesystem.
+same commit semantics on a plain filesystem. The commit point itself is a
+pluggable seam (frontier/statelog.py): the default JsonCheckpointStore's
+atomic rename is replaced by IcebergCheckpointStore's snapshot commit on
+a real catalog — the engine path is identical either way.
 """
 
 from __future__ import annotations
@@ -42,7 +45,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dmp_crawler_spark.extractors.udfs import extract_and_links
-from dmp_crawler_spark.frontier import bloom, politeness, robots as robots_mod
+from dmp_crawler_spark.frontier import (
+    bloom,
+    politeness,
+    robots as robots_mod,
+    statelog,
+)
 from dmp_crawler_spark.frontier.urlnorm import (
     normalize_url,
     resolve_link,
@@ -140,6 +148,7 @@ class CrawlEngine:
         shard_prune_min_seen: int = 5_000_000,
         bloom_min_seen: int = 1_000_000,
         lsm_min_frontier: int = 10_000_000,
+        checkpoint_store=None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -210,7 +219,13 @@ class CrawlEngine:
             self.enrichment = [enrichment]
         else:
             self.enrichment = list(enrichment)
-        os.makedirs(os.path.join(state_dir, "checkpoints"), exist_ok=True)
+        # checkpoint-commit seam (frontier/statelog.py): the store owns
+        # the ONE atomic pointer swap per iteration; on an Iceberg catalog
+        # IcebergCheckpointStore makes it a snapshot commit instead of an
+        # os.replace() — the engine code path is identical either way
+        self.checkpoint_store = checkpoint_store or statelog.JsonCheckpointStore(
+            state_dir
+        )
 
     # ---------------- state paths -------------------------------------
     def _p(self, *parts: str) -> str:
@@ -220,20 +235,13 @@ class CrawlEngine:
         return self._p("checkpoints", f"ckpt_{k:06d}.json")
 
     def last_checkpoint(self) -> dict | None:
-        d = self._p("checkpoints")
-        names = sorted(n for n in os.listdir(d) if n.startswith("ckpt_"))
-        if not names:
-            return None
-        with open(os.path.join(d, names[-1])) as f:
-            return json.load(f)
+        return self.checkpoint_store.last()
 
     def _commit(self, ck: dict) -> None:
-        """Atomic commit point: state written first, checkpoint renamed last."""
-        path = self._ckpt_path(ck["iter"])
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ck, f)
-        os.replace(tmp, path)
+        """Atomic commit point: state written first, ONE pointer swap last
+        (delegated to the checkpoint store — see statelog.py for the
+        Iceberg snapshot-commit mapping)."""
+        self.checkpoint_store.commit(ck)
 
     def _frontier_dirs(
         self, k: int, base: dict | None
@@ -298,7 +306,9 @@ class CrawlEngine:
         return fr
 
     def frontier_df(self, k: int) -> DataFrame:
-        """Frontier view as of the checkpoint at iteration k (tools/tests)."""
+        """Frontier view as of the checkpoint at iteration k (tools/tests;
+        reads the per-iteration JSON file, so it assumes the default
+        JsonCheckpointStore — non-filesystem stores use last_checkpoint)."""
         with open(self._ckpt_path(k)) as f:
             ck = json.load(f)
         return self.frontier_view(k, ck.get("frontier_base"))

@@ -621,3 +621,46 @@ def test_py_normalize_url_parity(spark):
     got = [r["got"] for r in df.select(normalize_url("url").alias("got")).collect()]
     for u, expected in zip(urls, got):
         assert py_normalize_url(u) == expected, (u, py_normalize_url(u), expected)
+
+
+def test_resume_through_memory_checkpoint_store(spark, corpus_path, tmp_path):
+    """The checkpoint-commit seam (statelog.py): a crawl committed through
+    a NON-filesystem store must resume identically — proving the engine's
+    resume path runs entirely through store.last()/store.commit() and the
+    committed pointer carries everything resume needs (the property the
+    Iceberg snapshot-commit adapter relies on)."""
+    from dmp_crawler_spark.frontier.statelog import MemoryCheckpointStore
+
+    seeds = _seeds()
+    sdf = spark.createDataFrame([(s, "") for s in seeds], "seed string, site string")
+
+    full = _mk_engine(spark, corpus_path, tmp_path / "full")
+    full.init_from_seeds(sdf)
+    full.run(max_iters=3)
+
+    store = MemoryCheckpointStore()
+    part = _mk_engine(spark, corpus_path, tmp_path / "mem",
+                      checkpoint_store=store)
+    part.init_from_seeds(sdf)
+    part.run(max_iters=2)
+    assert len(store.commits) >= 3  # init + 2 iterations, all via the seam
+    assert not os.path.exists(str(tmp_path / "mem" / "checkpoints")) or not [
+        n for n in os.listdir(str(tmp_path / "mem" / "checkpoints"))
+        if n.startswith("ckpt_")
+    ]  # nothing bypassed the store and wrote JSON checkpoints
+
+    resumed = _mk_engine(spark, corpus_path, tmp_path / "mem",
+                         checkpoint_store=store)
+    resumed.run(max_iters=1)
+    assert _visit_sets(full) == _visit_sets(resumed)
+
+
+def test_iceberg_store_diagnoses_missing_catalog(spark):
+    """Without an Iceberg catalog configured the adapter must fail at
+    construction with an actionable message, not at first commit."""
+    import pytest
+
+    from dmp_crawler_spark.frontier.statelog import IcebergCheckpointStore
+
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.crawl"):
+        IcebergCheckpointStore(spark)
