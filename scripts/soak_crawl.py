@@ -24,6 +24,14 @@ Output: one JSON line; also written to BENCH/soak_20iter.json.
 
 Env knobs: SOAK_URLS (2000000), SOAK_SEEDS (5000), SOAK_BUDGET (500),
 SOAK_GLOBAL (40000), SOAK_ITERS (20), SOAK_CPUS (32).
+
+Gate-crossing mode (round-3 verdict item 6): SOAK_LSM_GATE lowers
+lsm_min_frontier so pending crosses it mid-soak and the LSM delta/
+tombstone path engages in a LIVE crawl (the default 10M gate would need
+~10^7 pending rows — beyond this sandbox's disk/time budget; the gate
+VALUE comes from the committed crossover probes, this soak evidences the
+CROSSING behavior: per-iteration mode is recorded and per-URL cost must
+stay flat through it). SOAK_OUT overrides the BENCH output filename.
 """
 
 from __future__ import annotations
@@ -42,6 +50,8 @@ BUDGET = int(os.environ.get("SOAK_BUDGET", "500"))
 GLOBAL = int(os.environ.get("SOAK_GLOBAL", "40000"))
 ITERS = int(os.environ.get("SOAK_ITERS", "20"))
 CPUS = os.environ.get("SOAK_CPUS", "32")
+LSM_GATE = os.environ.get("SOAK_LSM_GATE")  # rows; None = engine default
+OUT_NAME = os.environ.get("SOAK_OUT", "soak_20iter.json")
 
 
 def main() -> None:
@@ -56,11 +66,15 @@ def main() -> None:
         "seed string, site string",
     )
     tmp = tempfile.mkdtemp(prefix="soak_")
+    kw = {}
+    if LSM_GATE is not None:
+        kw["lsm_min_frontier"] = int(LSM_GATE)
     eng = CrawlEngine(
         spark, os.path.join(tmp, "state"),
         generator.GeneratorFetcher(spark, N_URLS),
         generator.generate_site_rules(spark),
         per_host_budget=BUDGET, global_budget=GLOBAL, n_bloom_shards=16,
+        **kw,
     )
     eng.init_from_seeds(seeds)
 
@@ -74,6 +88,11 @@ def main() -> None:
         # quantum each step — every iteration admits exactly GLOBAL rows
         # while pending cover lasts
         eng.global_budget = crawled_total + GLOBAL
+        # mode this iteration will run in (same pending-count test step()
+        # makes): fold below the LSM gate, delta/tombstone log at/above it
+        ck = eng.last_checkpoint()
+        pending_before = sum(ck.get("frontier_shards", {}).values())
+        mode = "lsm" if pending_before >= eng.lsm_min_frontier else "fold"
         s0, j0 = _cpu_steal_jiffies()
         t0 = time.monotonic()
         m = eng.step()
@@ -83,6 +102,8 @@ def main() -> None:
         crawled_total += admitted
         iters.append({
             "iter": i,
+            "mode": mode,
+            "pending_before": pending_before,
             "admitted": admitted,
             "elapsed_sec": round(sec, 3),
             "ms_per_url": round(1000.0 * sec / admitted, 3) if admitted else None,
@@ -90,7 +111,8 @@ def main() -> None:
             "steal_pct": round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else None,
             "phase_sec": m.get("phase_sec", {}),
         })
-        print(f"# iter {i}: admitted={admitted} sec={sec:.2f} "
+        print(f"# iter {i}: mode={mode} pending={pending_before} "
+              f"admitted={admitted} sec={sec:.2f} "
               f"ms/url={iters[-1]['ms_per_url']} "
               f"steal={iters[-1]['steal_pct']}%", file=sys.stderr)
         if m.get("done"):
@@ -117,7 +139,10 @@ def main() -> None:
         "tail_ms_per_url": round(tail_ms, 3) if tail_ms else None,
         "workload": {"SOAK_URLS": N_URLS, "SOAK_SEEDS": N_SEEDS,
                      "SOAK_BUDGET": BUDGET, "SOAK_GLOBAL": GLOBAL,
-                     "SOAK_ITERS": ITERS, "SOAK_CPUS": CPUS},
+                     "SOAK_ITERS": ITERS, "SOAK_CPUS": CPUS,
+                     "SOAK_LSM_GATE": LSM_GATE},
+        "modes": {m: sum(1 for it in iters if it["mode"] == m)
+                  for m in ("fold", "lsm")},
         "per_iter": iters,
     }
     line = json.dumps(out)
@@ -125,7 +150,7 @@ def main() -> None:
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "soak_20iter.json"), "w") as f:
+    with open(os.path.join(bench_dir, OUT_NAME), "w") as f:
         f.write(line + "\n")
 
 
