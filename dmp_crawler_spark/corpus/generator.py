@@ -170,10 +170,12 @@ class GeneratorFetcher:
             # pages and popular cross-page links survive ~7× (measured
             # 800k vs 560k link rows/iteration at bench scale). Bounded:
             # past _LINK_FLUSH entries the dict is flushed as a partial
-            # frame, so executor memory never scales with partition size.
+            # frame, so executor memory never scales with partition size
+            # (500k entries ≈ 100 MB of Python dict — sized for the
+            # spark.executor.pyspark.memory defaults, not for this box).
             from urllib.parse import urljoin
 
-            _LINK_FLUSH = 2_000_000
+            _LINK_FLUSH = 500_000
             link_min_depth: dict[str, tuple] = {}
 
             def links_frame():
