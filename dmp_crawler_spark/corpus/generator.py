@@ -67,9 +67,10 @@ class GeneratorFetcher:
     for the N-vs-4N scaling evidence; CorpusFetcher remains the fixture
     for fetch-miss/retry tests."""
 
-    # contract: kind='link' out_url values are already resolved (urljoin)
-    # AND normalized (py_normalize_url ≡ normalize_url, parity-tested) —
-    # the scheduler skips its per-link resolve+normalize pass
+    # contract: kind='link' out_url values are already resolved
+    # (py_resolve_link ≡ urljoin) AND normalized (py_normalize_url ≡
+    # normalize_url, both parity-tested) — the scheduler skips its
+    # per-link resolve+normalize pass
     links_normalized = True
 
     def __init__(self, spark: SparkSession, n_urls: int):
@@ -155,13 +156,16 @@ class GeneratorFetcher:
         def gen(batches):
             import pandas as pd
 
-            from dmp_crawler_spark.frontier.urlnorm import py_normalize_url
+            from dmp_crawler_spark.frontier.urlnorm import (
+                py_normalize_url,
+                py_resolve_link,
+            )
 
             # link rows dominate the output volume (~40×/page): carry only
             # (url=src, out_url, depth) and pre-combine duplicate edges
             # map-side — the Python analog of a partial aggregate before
             # the shuffle. The combine keys on the RESOLVED absolute URL
-            # (urljoin — parity-tested vs resolve_link in
+            # (py_resolve_link ≡ urljoin, parity-tested in
             # tests/test_frontier.py): keying on the raw href would merge
             # directory-relative hrefs from different source directories
             # and silently drop a discoverable URL (ADVICE r01). The
@@ -173,8 +177,6 @@ class GeneratorFetcher:
             # frame, so executor memory never scales with partition size
             # (500k entries ≈ 100 MB of Python dict — sized for the
             # spark.executor.pyspark.memory defaults, not for this box).
-            from urllib.parse import urljoin
-
             _LINK_FLUSH = 500_000
             link_min_depth: dict[str, tuple] = {}
 
@@ -227,7 +229,7 @@ class GeneratorFetcher:
                     d = meta["depth"]
                     src = meta["url"]
                     for m in href_re.finditer(html):
-                        key = urljoin(src, m.group(1))
+                        key = py_resolve_link(src, m.group(1))
                         prev = link_min_depth.get(key)
                         if prev is None or d < prev[1]:
                             link_min_depth[key] = (src, d)

@@ -354,6 +354,43 @@ def test_resolve_link_urljoin_parity(spark):
     assert not bad, bad
 
 
+def test_py_resolve_link_urljoin_parity():
+    """py_resolve_link (the fetch worker's fast path) must be byte-identical
+    to urljoin over the same matrix as the Column version, plus shapes that
+    specifically exercise its guards: query-bearing pathless sources (the
+    base regex must stop at '?'), dot segments inside absolute and
+    root-relative hrefs (urljoin removes them even when the href is
+    absolute — those must fall through), and uppercase schemes."""
+    from urllib.parse import urljoin
+
+    from dmp_crawler_spark.frontier.urlnorm import py_resolve_link
+
+    srcs = [
+        "http://a.com/x/y.html",
+        "http://a.com/x/y/z.html?q=1#f",
+        "http://a.com/",
+        "http://a.com",
+        "http://a.com?q=1",
+        "http://a.com:8080/x/",
+        "https://b.com/p/q/r",
+    ]
+    hrefs = [
+        "z.html", "./z.html", "../z.html", "../../z.html",
+        "../../../../z.html", "a/../b.html", "./../a/./b/../c.html",
+        "/abs/./x/../y.html", "/abs/y.html", "//c.com/d", "http://c.com/e",
+        "http://c.com/e/../f.html", "HTTP://C.com/e", "https://c.com/e",
+        "?q=2", "#frag", "", "sub/dir/", "..", "../", ".", "./",
+        "/x?q=3#f", "/", "/..",
+    ]
+    bad = [
+        (s, h, py_resolve_link(s, h), urljoin(s, h))
+        for s in srcs
+        for h in hrefs
+        if py_resolve_link(s, h) != urljoin(s, h)
+    ]
+    assert not bad, bad
+
+
 def test_normalize_url_strips_default_ports(spark):
     df = spark.createDataFrame(
         [
