@@ -384,18 +384,25 @@ def a4_map_assembly(spark, d):
 # text analysis (documents)
 
 
-def lang_id(spark, d):
-    docs = _t(spark, d, "documents")
-    c = F.col("text")
+def _lang_pred_expr(c):
+    """n-gram-heuristic language label over a text Column (shared by
+    lang_id and corpus_clean so the composed pipeline reuses the exact
+    oracle-green expression)."""
     ln = F.length(c)
     cjk = ln - F.length(F.regexp_replace(c, "[一-鿿]", ""))
     latin = ln - F.length(F.regexp_replace(c, "[A-Za-z]", ""))
-    label = (
+    return (
         F.when((ln > 0) & (cjk / ln > 0.25), F.lit("zh"))
         .when((ln > 0) & (latin / ln > 0.4), F.lit("en"))
         .otherwise(F.lit("und"))
     )
-    return docs.select("doc_id", "lang", label.alias("lang_pred"))
+
+
+def lang_id(spark, d):
+    docs = _t(spark, d, "documents")
+    return docs.select(
+        "doc_id", "lang", _lang_pred_expr(F.col("text")).alias("lang_pred")
+    )
 
 
 def token_counts(spark, d):
@@ -406,9 +413,9 @@ def token_counts(spark, d):
     return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
-def quality_score(spark, d):
-    docs = _t(spark, d, "documents")
-    c = F.col("text")
+def _quality_expr(c):
+    """4-gate heuristic quality score over a text Column (shared by
+    quality_score and corpus_clean)."""
     ln = F.length(c)
     punct = ln - F.length(F.regexp_replace(c, r"[\p{P}\p{S}]", ""))
     t = F.trim(c)
@@ -424,21 +431,71 @@ def quality_score(spark, d):
     punct_ok = F.when((ln > 0) & (punct / ln < 0.3), 1.0).otherwise(0.0)
     word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
     sw_ok = F.when((swr > 0.05) | ((ln > 0) & (cjk / ln > 0.25)), 1.0).otherwise(0.0)
-    score = F.round((length_ok + punct_ok + word_ok + sw_ok) / 4.0, 4)
-    return docs.select("doc_id", score.alias("quality"))
+    return F.round((length_ok + punct_ok + word_ok + sw_ok) / 4.0, 4)
+
+
+def quality_score(spark, d):
+    docs = _t(spark, d, "documents")
+    return docs.select("doc_id", _quality_expr(F.col("text")).alias("quality"))
+
+
+def _norm_text_expr(c):
+    """Punct-stripped, whitespace-collapsed, lowercased text for exact
+    dedup (shared by dedup_exact_norm and corpus_clean)."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[\p{P}]", ""), r"\s+", " ")
+    )
 
 
 def dedup_exact_norm(spark, d):
     docs = _t(spark, d, "documents")
-    norm = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[\p{P}]", ""), r"\s+", " ")
-    )
     return (
-        docs.select("doc_id", norm.alias("norm"))
+        docs.select("doc_id", _norm_text_expr(F.col("text")).alias("norm"))
         .groupBy("norm")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("keep_id", "n_dups")
     )
+
+
+def corpus_clean(spark, d):
+    """End-to-end training-corpus cleaning — the composed shape a 100-TB
+    LLM-data run actually executes, stitched from four individually
+    oracle-green stages: (1) heuristic quality gate (>= 3 of 4 checks),
+    (2) language gate (drop 'und'), (3) normalized exact dedup keeping the
+    min doc_id per text group, (4) near-dup suppression keeping only the
+    connected-component representative of the MinHash-LSH pair graph.
+    Models the cleanup the reference applies per-site inside each crawler
+    (junk/empty filters + md5 dedup, e.g. crawler/autohome/MyProcessor.java
+    junk guards) generalized to a corpus-wide pipeline.
+
+    Scale shape: stages 1-2 are codegen'd column expressions fused into the
+    scan (no shuffle); stage 3 is one hash-partition shuffle on the
+    normalized-text key; stage 4 is the banded LSH join (never all-pairs,
+    vectors/text stripped from the shuffled pair set) plus min-label
+    propagation over the (small) pair graph only. Total: ~2 shuffles over
+    the full corpus regardless of corpus size."""
+    from dmp_crawler_spark.operators import dedup as dd
+
+    docs = _t(spark, d, "documents").select("doc_id", "text")
+    c = F.col("text")
+    gated = (
+        docs.withColumn("quality", _quality_expr(c))
+        .withColumn("lang_pred", _lang_pred_expr(c))
+        .filter((F.col("quality") >= 0.75) & (F.col("lang_pred") != "und"))
+    )
+    exact_keep = (
+        gated.groupBy(_norm_text_expr(c).alias("norm"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = gated.join(exact_keep, "doc_id")
+    clusters = dd.near_dup_clusters(
+        survivors.select("doc_id", "text"),
+        threshold=0.5, num_hashes=16, bands=8, k_shingle=3,
+    )
+    dupes = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    kept = survivors.join(dupes, "doc_id", "left_anti")
+    return kept.select("doc_id", "quality", "lang_pred")
 
 
 # ---------------------------------------------------------------------------
@@ -1389,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "chinaweather_import": chinaweather_import,
         "ivf_topk_pruned": ivf_topk_pruned,
+        "corpus_clean": corpus_clean,
         # --- single-green (first row in r03) ---
         "s6_flat_file_scan": s6_flat_file_scan,
         "s8_merge_latest": s8_merge_latest,
@@ -2144,6 +2202,73 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # the four stages replayed as one statement: quality/lang gates,
+        # normalized exact dedup, LSH-threshold pair graph + recursive-CTE
+        # closure, representative-only projection
+        "corpus_clean": """
+            WITH RECURSIVE m AS (
+                SELECT doc_id, text,
+                       length(text) AS ln,
+                       length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS punct,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as|by|at|be)\\b')) AS sw,
+                       length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+                       length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin
+                FROM documents
+            ), g AS (
+                SELECT doc_id, text,
+                       round((
+                         (CASE WHEN ln >= 50 AND ln <= 100000 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN ln > 0 AND punct / ln < 0.3 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN toks > 0 AND nonspace / toks >= 2.0 AND nonspace / toks <= 12.0
+                               THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN (toks > 0 AND sw / toks > 0.05) OR (ln > 0 AND cjk / ln > 0.25)
+                               THEN 1.0 ELSE 0.0 END)
+                       ) / 4.0, 4) AS quality,
+                       CASE WHEN ln > 0 AND cjk / ln > 0.25 THEN 'zh'
+                            WHEN ln > 0 AND latin / ln > 0.4 THEN 'en'
+                            ELSE 'und' END AS lang_pred
+                FROM m
+            ), gated AS (
+                SELECT * FROM g WHERE quality >= 0.75 AND lang_pred <> 'und'
+            ), exact_keep AS (
+                SELECT min(doc_id) AS doc_id FROM gated
+                GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[\\p{P}]', '', 'g'),
+                                             '\\s+', ' ', 'g'))
+            ), survivors AS (
+                SELECT g.* FROM gated g JOIN exact_keep e USING (doc_id)
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(toks) >= 3
+                              THEN [array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks) - 2)]
+                              ELSE [array_to_string(toks, ' ')] END
+                       ) AS sh
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                      FROM survivors)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ), clusters AS (
+                SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+            )
+            SELECT s.doc_id, s.quality, s.lang_pred
+            FROM survivors s LEFT JOIN clusters c USING (doc_id)
+            WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
         """,
         "ngram_jaccard": f"""
             WITH sh AS ({_SHINGLE_SQL})

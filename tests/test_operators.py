@@ -262,3 +262,33 @@ def test_ivf_pretrained_centroid_count_mismatch(spark):
     import pytest
     with pytest.raises(ValueError):
         similarity.build_ivf_index(corpus, n_cells=4, centroids=[[1.0, 0.0]])
+
+
+def test_corpus_clean_each_stage_drops(spark, tmp_path):
+    """corpus_clean end-to-end: every stage must drop exactly its doc —
+    quality gate (13), language gate (15), normalized exact dedup (11),
+    near-dup representative suppression (12)."""
+    import __spark_entry__ as entrymod
+
+    a = ("the quick brown fox jumps over the lazy dog again and again "
+         "today it was a fine day")
+    rows = [
+        (10, a, "en"),
+        # punct/case-only variant: normalized-equal to 10 -> exact dup
+        (11, "The quick brown fox jumps over the lazy dog, again and "
+             "again today it was a fine day!", "en"),
+        # one word changed: Jaccard >= 0.5 near dup of 10
+        (12, a.replace("today", "tonight"), "en"),
+        # too short: quality 0.5 < 0.75
+        (13, "hi", "en"),
+        (14, "completely different long document about apache spark "
+             "distributed computing and the shuffle service", "en"),
+        # digits only: quality exactly 0.75 but lang_pred 'und'
+        (15, " ".join(["12 34 56 78 90"] * 4), "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = entrymod.corpus_clean(spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in out) == [10, 14]
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[10]["quality"] == 1.0 and byid[10]["lang_pred"] == "en"
