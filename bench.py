@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "simhash_pairs_oracle",
     "ngram_jaccard",
+    "corpus_clean",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:
