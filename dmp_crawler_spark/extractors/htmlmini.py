@@ -73,7 +73,7 @@ def _norm_ws(s: str) -> str:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_desc")
+    __slots__ = ("tag", "attrs", "children", "parent", "_desc", "_idx")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None,
                  parent: "Element | None" = None):
@@ -82,6 +82,7 @@ class Element:
         self.children: list[object] = []  # Element | str (text node)
         self.parent = parent
         self._desc: list["Element"] | None = None  # select() descendant cache
+        self._idx: dict | None = None  # select() tag→elements index
 
     # -- attribute / class helpers ------------------------------------
     def attr(self, name: str) -> str:
@@ -234,8 +235,22 @@ def _compile_simple(simple: str):
     return tag, tuple(parts)
 
 
-def _match_simple(el: Element, simple: str) -> bool:
-    compiled = _compile_simple(simple)
+# class-attr strings repeat across elements (shared boilerplate), so the
+# split result is memoized; bounded like _NORM_CACHE
+_CLASS_CACHE: dict[str, list] = {}
+
+
+def _split_classes(cls: str) -> list:
+    v = _CLASS_CACHE.get(cls)
+    if v is None:
+        v = cls.split()
+        if len(_CLASS_CACHE) >= _NORM_MAX_ENTRIES:
+            _CLASS_CACHE.clear()
+        _CLASS_CACHE[cls] = v
+    return v
+
+
+def _match_compiled(el: Element, compiled) -> bool:
     if compiled is None:
         return False
     tag, parts = compiled
@@ -248,7 +263,7 @@ def _match_simple(el: Element, simple: str) -> bool:
             if attrs.get("id", "") != p[1]:
                 return False
         elif op == "class":
-            if p[1] not in attrs.get("class", "").split():
+            if p[1] not in _split_classes(attrs.get("class", "")):
                 return False
         elif op == "attr_ne":
             # jsoup [attr!=val]: matches when the attribute differs OR
@@ -265,6 +280,10 @@ def _match_simple(el: Element, simple: str) -> bool:
             if p[1] not in attrs:
                 return False
     return True
+
+
+def _match_simple(el: Element, simple: str) -> bool:
+    return _match_compiled(el, _compile_simple(simple))
 
 
 @lru_cache(maxsize=512)
@@ -300,6 +319,7 @@ def _select_group(root: Element, group: str) -> list[Element]:
     if parsed is None:
         return []
     simples, combs = parsed
+    compiled = [_compile_simple(s) for s in simples]
 
     def chain_ok(el: Element, k: int) -> bool:
         if k == 0:
@@ -308,11 +328,11 @@ def _select_group(root: Element, group: str) -> list[Element]:
             p = el.parent
             return (
                 p is not None and p.tag != "#root"
-                and _match_simple(p, simples[k - 1]) and chain_ok(p, k - 1)
+                and _match_compiled(p, compiled[k - 1]) and chain_ok(p, k - 1)
             )
         p = el.parent
         while p is not None and p.tag != "#root":
-            if _match_simple(p, simples[k - 1]) and chain_ok(p, k - 1):
+            if _match_compiled(p, compiled[k - 1]) and chain_ok(p, k - 1):
                 return True
             p = p.parent
         return False
@@ -325,8 +345,33 @@ def _select_group(root: Element, group: str) -> list[Element]:
         # element — select() is called several times per page
         desc = list(root.iter_elements())
         root._desc = desc
+    comp_last = compiled[last]
+    if comp_last is not None and comp_last[0] is not None and comp_last[0] != "*":
+        # tag-indexed candidates: nearly every extractor selector ends in a
+        # tagged simple, so the final match scans ~count(tag) elements
+        # instead of the whole tree. Index is built once per context
+        # element alongside _desc (same immutability argument) and
+        # preserves document order; the context element itself is a
+        # candidate when its tag matches (jsoup getAllElements includes
+        # self — see docstring).
+        idx = root._idx
+        if idx is None:
+            idx = {}
+            for e in desc:
+                lst = idx.get(e.tag)
+                if lst is None:
+                    idx[e.tag] = [e]
+                else:
+                    lst.append(e)
+            root._idx = idx
+        cands = idx.get(comp_last[0], ())
+        if root.tag == comp_last[0]:
+            cands = [root, *cands]
+        return [el for el in cands
+                if _match_compiled(el, comp_last) and chain_ok(el, last)]
     pool = ([root] if root.tag != "#root" else []) + desc
-    return [el for el in pool if _match_simple(el, simples[last]) and chain_ok(el, last)]
+    return [el for el in pool
+            if _match_compiled(el, comp_last) and chain_ok(el, last)]
 
 
 class _Builder(HTMLParser):
@@ -470,6 +515,24 @@ def _attr_pairs(rawattrs: str) -> tuple:
             _ATTR_CACHE.clear()
         _ATTR_CACHE[rawattrs] = pairs
     return pairs
+
+
+# Attr dicts shared across elements with identical raw attr strings (the
+# fused parser's analog of _ATTR_CACHE). Safe because Element.attrs is
+# never mutated after construction — the only write in the repo is the
+# __init__ assignment (invariant asserted by grep in round 4; selectors,
+# text() and extractors are read-only). Bounded like _NORM_CACHE.
+_ATTR_DICTS: dict[str, dict] = {}
+
+
+def _attr_dict(rawattrs: str) -> dict:
+    d = _ATTR_DICTS.get(rawattrs)
+    if d is None:
+        d = dict(_attr_pairs(rawattrs))
+        if len(_ATTR_DICTS) >= _NORM_MAX_ENTRIES:
+            _ATTR_DICTS.clear()
+        _ATTR_DICTS[rawattrs] = d
+    return d
 
 
 def _fast_feed(rawdata: str, h) -> None:
@@ -655,6 +718,236 @@ def _flush_incomplete(rawdata: str, i: int, handle_data) -> int:
     return k
 
 
+_BLOCK_BR = frozenset(_BLOCK) | {"br"}
+
+
+def _fused_parse(rawdata: str, collect_text: bool) -> tuple[Element, list | None]:
+    """_fast_feed + _Builder fused into one pass: the same token scan
+    driving inline tree-build/text-collection instead of per-event method
+    dispatch (~390 handle_* calls per corpus page, measured ~40% of parse
+    time). Event semantics are byte-identical to _fast_feed→_Builder —
+    pinned by the same archetype/edge/fuzz parity battery in
+    tests/test_htmlmini.py. Attr dicts on the well-formed fast path are
+    shared via _attr_dict (Element.attrs is immutable by invariant)."""
+    root = Element("#root")
+    stack = [root]
+    parts: list | None = [] if collect_text else None
+    cdata_elem: str | None = None
+    i, n = 0, len(rawdata)
+
+    def emit_data(data: str) -> None:
+        # full handle_data semantics for the rare/recovery paths
+        # (_flush_incomplete, bogus tags, stray '<')
+        if data:
+            stack[-1].children.append(data)
+            if parts is not None and cdata_elem is None:
+                norm = _norm_ws(data)
+                if norm.startswith(" ") and (not parts or parts[-1].endswith(" ")):
+                    norm = norm[1:]
+                if norm:
+                    parts.append(norm)
+
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                chunk = rawdata[i:j]
+                if "&" in chunk:
+                    chunk = _unescape(chunk)
+                if chunk:
+                    stack[-1].children.append(chunk)
+                    if parts is not None:
+                        # inline _NORM_CACHE hit (97% of data nodes)
+                        norm = _NORM_CACHE.get(chunk)
+                        if norm is None:
+                            norm = _norm_ws(chunk)
+                        if norm.startswith(" ") and (
+                            not parts or parts[-1].endswith(" ")
+                        ):
+                            norm = norm[1:]
+                        if norm:
+                            parts.append(norm)
+            i = j
+            if i == n:
+                break
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if not m:
+                # unterminated raw-text element: stdlib buffers forever
+                return root, parts
+            j = m.start()
+            if i < j:
+                # DataNode content: in the tree, never in text()
+                stack[-1].children.append(rawdata[i:j])
+            tag = cdata_elem
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+            cdata_elem = None
+            i = m.end()
+            continue
+        nxt = rawdata[i + 1:i + 2]
+        if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+            # --- start tag: fast path first
+            m = _FAST_START.match(rawdata, i)
+            if m:
+                tag = m.group(1).lower()
+                rawattrs = m.group(2)
+                cur = stack[-1]
+                el = Element(tag, _attr_dict(rawattrs) if rawattrs else None, cur)
+                cur.children.append(el)
+                if m.group(3):
+                    # startendtag: never pushed, never enters cdata
+                    if parts is not None and tag in _BLOCK_BR and parts \
+                            and not parts[-1].endswith(" "):
+                        parts.append(" ")
+                else:
+                    if tag not in _VOID:
+                        stack.append(el)
+                    if tag in _CDATA_CLOSE:
+                        cdata_elem = tag
+                    elif parts is not None and tag in _BLOCK_BR and parts \
+                            and not parts[-1].endswith(" "):
+                        parts.append(" ")
+                i = m.end()
+                continue
+            # --- tolerant path (mirrors parse_starttag)
+            lm = _locatestart.match(rawdata, i)
+            j = lm.end()
+            nc = rawdata[j:j + 1]
+            if nc == ">":
+                endpos = j + 1
+            elif nc == "/":
+                if rawdata.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    endpos = j if j > i else i + 1
+            elif nc == "" or nc in (
+                "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            ):
+                i = _flush_incomplete(rawdata, i, emit_data)
+                continue
+            else:
+                endpos = j if j > i else i + 1
+            tm = _tagfind.match(rawdata, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                emit_data(rawdata[i:endpos])
+            else:
+                cur = stack[-1]
+                el = Element(tag, dict(attrs), cur)
+                cur.children.append(el)
+                if end.endswith("/>"):
+                    if parts is not None and tag in _BLOCK_BR and parts \
+                            and not parts[-1].endswith(" "):
+                        parts.append(" ")
+                else:
+                    if tag not in _VOID:
+                        stack.append(el)
+                    if tag in _CDATA_CLOSE:
+                        cdata_elem = tag
+                    elif parts is not None and tag in _BLOCK_BR and parts \
+                            and not parts[-1].endswith(" "):
+                        parts.append(" ")
+            i = endpos
+        elif nxt == "/":
+            # --- end tag (mirrors parse_endtag)
+            gt = rawdata.find(">", i + 1)
+            if gt < 0:
+                i = _flush_incomplete(rawdata, i, emit_data)
+                continue
+            gtpos = gt + 1
+            em = _endtagfind.match(rawdata, i)
+            if not em:
+                nm = _tagfind.match(rawdata, i + 2)
+                if not nm:
+                    if rawdata.startswith("</>", i):
+                        i += 3
+                    else:  # bogus comment: consumed to '>'
+                        i = gtpos
+                    continue
+                tag = nm.group(1).lower()
+                for k in range(len(stack) - 1, 0, -1):
+                    if stack[k].tag == tag:
+                        del stack[k:]
+                        break
+                i = rawdata.find(">", nm.end()) + 1
+                continue
+            tag = em.group(1).lower()
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+            i = gtpos
+        elif rawdata.startswith("<!--", i):
+            m = _commentclose.search(rawdata, i + 4)
+            if not m:
+                i = _flush_incomplete(rawdata, i, emit_data)
+                continue
+            i = m.end()
+        elif rawdata.startswith("<?", i):
+            m = _piclose.search(rawdata, i + 2)
+            if not m:
+                i = _flush_incomplete(rawdata, i, emit_data)
+                continue
+            i = m.end()
+        elif rawdata.startswith("<!", i):
+            # declaration family (mirrors parse_html_declaration)
+            if rawdata.startswith("<![", i):
+                m = _MARKED_CLOSE.search(rawdata, i + 3)
+                if not m:
+                    i = _flush_incomplete(rawdata, i, emit_data)
+                    continue
+                i = m.end()
+            else:
+                gt = rawdata.find(">", i + 2)
+                if gt < 0:
+                    i = _flush_incomplete(rawdata, i, emit_data)
+                    continue
+                i = gt + 1
+        else:
+            if i + 1 < n:
+                emit_data("<")
+                i += 1
+            else:
+                emit_data("<")  # final-flush path emits the lone '<'
+                i = n
+    return root, parts
+
+
+if not _HAVE_TOLERANT_GRAMMAR:
+
+    def _fused_parse(rawdata: str, collect_text: bool) -> tuple[Element, list | None]:  # noqa: F811
+        """Tolerant-grammar internals unavailable: same result via the
+        public HTMLParser drive (ADVICE r03 fallback contract)."""
+        b = _Builder(collect_text=collect_text)
+        b.feed(rawdata or "")
+        b.close()
+        return b.root, b.text_parts
+
+
 # One-slot parse memo: the fused fetch pass derives BOTH the stripped-text
 # column and the extracted fields from the same html, and every extractor
 # opens with parse(html) — without the memo each page is DOM-parsed twice
@@ -668,11 +961,10 @@ _MEMO: list = [None, None]  # [html, root]
 def parse(html: str) -> Element:
     if html is not None and _MEMO[0] == html:
         return _MEMO[1]
-    b = _Builder()
-    _fast_feed(html or "", b)
+    root, _ = _fused_parse(html or "", False)
     _MEMO[0] = html
-    _MEMO[1] = b.root
-    return b.root
+    _MEMO[1] = root
+    return root
 
 
 def parse_with_text(html: str) -> tuple[Element, str]:
@@ -681,11 +973,10 @@ def parse_with_text(html: str) -> tuple[Element, str]:
     if html is not None and _MEMO[0] == html:
         root = _MEMO[1]
         return root, root.text()
-    b = _Builder(collect_text=True)
-    _fast_feed(html or "", b)
+    root, parts = _fused_parse(html or "", True)
     _MEMO[0] = html
-    _MEMO[1] = b.root
-    return b.root, "".join(b.text_parts).strip()
+    _MEMO[1] = root
+    return root, "".join(parts).strip()
 
 
 def stdlib_parse_with_text(html: str) -> tuple[Element, str]:

@@ -86,6 +86,13 @@ def _fast(html):
     return _dump(b.root), "".join(b.text_parts).strip()
 
 
+def _fused(html):
+    from dmp_crawler_spark.extractors.htmlmini import _fused_parse
+
+    root, parts = _fused_parse(html or "", True)
+    return _dump(root), "".join(parts).strip()
+
+
 _EDGE_HTML = [
     "", "<", ">", "plain", "a<b", "&amp; &lt;x&gt;", "&unknown; &#65; &#x41;",
     "<div>", "</div>", "<DIV CLASS='X'>t</DIV>", '<a href="x&amp;y">t</a>',
@@ -114,12 +121,16 @@ def test_fast_feed_parity_archetypes():
     n = 200000
     for i in range(0, 256):
         html = templates.build_page(i * 251 % n, n)["html"].decode("utf-8")
-        assert _stdlib(html) == _fast(html), f"archetype page idx={i * 251 % n}"
+        ref = _stdlib(html)
+        assert ref == _fast(html), f"archetype page idx={i * 251 % n}"
+        assert ref == _fused(html), f"fused archetype page idx={i * 251 % n}"
 
 
 def test_fast_feed_parity_edge_cases():
     for html in _EDGE_HTML:
-        assert _stdlib(html) == _fast(html), repr(html)
+        ref = _stdlib(html)
+        assert ref == _fast(html), repr(html)
+        assert ref == _fused(html), repr(html)
 
 
 def test_fast_feed_parity_fuzz():
@@ -135,7 +146,9 @@ def test_fast_feed_parity_fuzz():
         html = "".join(
             rng.choice(frags) for _ in range(rng.randint(1, 25))
         )
-        assert _stdlib(html) == _fast(html), repr(html)
+        ref = _stdlib(html)
+        assert ref == _fast(html), repr(html)
+        assert ref == _fused(html), repr(html)
 
 
 def test_fallback_without_tolerant_grammar(monkeypatch):
