@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 import threading
 
@@ -226,29 +227,83 @@ def minhash_dedup(
     return docs.join(losers, id_col, "left_anti")
 
 
+def _driver_union_find(spark, src, dst, id_type):
+    """Exact union-find over a driver-resident edge list; component root =
+    min node id (larger root always attaches under smaller, so the final
+    root of every component is its minimum id — identical semantics to
+    min-label propagation). Path-halving keeps find near-O(1)."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    import pandas as pd
+
+    nodes = list(parent)
+    pdf = pd.DataFrame({"id": nodes, "cluster_id": [find(n) for n in nodes]})
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 25,
+    driver_gate: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node in `pairs`, cluster_id = min node id
     of its connected component — the exact clustering pair-drop dedup
     approximates.
 
-    Distributed min-label propagation: every node starts labeled with its
-    own id; each round joins labels across edges and keeps the per-node
-    min; stop when a round changes nothing. Rounds needed = graph
-    diameter, which for near-dup clusters is tiny (dup groups are dense);
-    each round is one broadcast-friendly shuffle on the (small) pair set,
-    never O(n²). localCheckpoint truncates the iterative lineage so the
-    plan stays bounded (the standard Spark CC shape, cf. GraphFrames'
-    label propagation)."""
+    Two physical strategies behind one contract, picked by the size of the
+    PAIR set (not the corpus — a near-dup pair graph is orders of magnitude
+    smaller than the corpus that produced it):
+
+    * pair set ≤ ``driver_gate`` rows: collect the edges (Arrow batch) and
+      solve union-find on the driver — exact, one Spark action, no
+      iteration. This is the same resource contract Spark's own
+      broadcast-hash join makes (collect the small side to the driver);
+      2M edges ≈ 32 MB of longs. At bench/driver scale every propagation
+      round below costs more than the whole union-find.
+    * larger: distributed min-label propagation — every node starts
+      labeled with its own id; each round joins labels across edges and
+      keeps the per-node min; stop when a round changes nothing. Rounds
+      needed = graph diameter (tiny for dense dup groups); each round is
+      one shuffle on the pair set, never O(n²); localCheckpoint truncates
+      the iterative lineage (the standard Spark CC shape, cf. GraphFrames'
+      label propagation).
+
+    The gate probe is a CollectLimit(driver_gate+1), which early-terminates
+    on partitions, so an over-gate graph pays only a partial scan before
+    falling through to the distributed path. ``driver_gate=0`` forces the
+    distributed path."""
+    raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    if driver_gate and driver_gate > 0:
+        head = raw.limit(driver_gate + 1).toArrow()
+        if head.num_rows <= driver_gate:
+            return _driver_union_find(
+                pairs.sparkSession,
+                head.column("src").to_pylist(),
+                head.column("dst").to_pylist(),
+                raw.schema["src"].dataType,
+            )
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )

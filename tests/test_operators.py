@@ -47,17 +47,34 @@ def test_minhash_dedup(docs):
     assert 1 in ids and 2 not in ids and 4 in ids and 5 in ids
 
 
-def test_connected_components_chain_and_cycle(spark):
+@pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_connected_components_chain_and_cycle(spark, gate):
     # chain 1-2-3-4 plus cycle 10-11-12-10 plus isolated pair (20,21):
-    # labels must converge to the component min even across multi-hop paths
+    # labels must converge to the component min even across multi-hop
+    # paths — on BOTH physical strategies (gate>0: driver union-find;
+    # gate=0: distributed min-label propagation)
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
         "id_a long, id_b long",
     )
     got = {r["id"]: r["cluster_id"]
-           for r in dedup.connected_components(pairs).collect()}
+           for r in dedup.connected_components(pairs, driver_gate=gate).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_gate_fallthrough_and_nonconvergence(spark):
+    # a pair set larger than driver_gate must fall through to the
+    # distributed path (same answer); a path graph whose diameter exceeds
+    # max_iters must raise loudly there instead of returning wrong labels
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(
+               pairs, max_iters=40, driver_gate=5).collect()}
+    assert got == {i: 0 for i in range(31)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=3, driver_gate=0)
 
 
 def test_near_dup_clusters(docs):
