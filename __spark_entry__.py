@@ -476,7 +476,9 @@ def corpus_clean(spark, d):
     measured 6.4 s vs 3.5 s at sf0.1). Stage 3 is one hash-partition
     shuffle on the normalized-text key; stage 4 is the banded LSH join
     (never all-pairs, text stripped from the shuffled pair set) plus
-    min-label propagation over the (small) pair graph only. Total: ~2
+    size-gated connected components over the (small) pair graph only —
+    driver union-find below 2M edges (the broadcast-side resource
+    contract), distributed min-label propagation above. Total: ~2
     shuffles over the full corpus regardless of corpus size. At 100 TB the
     persist becomes a parquet materialization of the scored corpus — still
     the right plan: every stage after the scan reads the 4-column scored
