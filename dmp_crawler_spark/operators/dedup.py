@@ -380,22 +380,31 @@ def md5_token_hash(tok: Column) -> Column:
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             hash_expr=None, n_bits: int = 64) -> DataFrame:
+    # Two plan shapes, same result (Σ_occurrences ±1 ≡ Σ_distinct cnt·±1):
+    #
+    # * default (cheap xxhash64): hash EVERY occurrence and feed the
+    #   per-bit sums directly — ONE partial-aggregating shuffle on id.
+    # * custom hash_expr (the md5 oracle-parity hash — the dominant
+    #   per-row cost on that path): pre-aggregate to distinct (id, tok)
+    #   first so the hash runs once per distinct pair instead of per
+    #   occurrence (measured 2.3× fewer evals on the sf0.1 corpus), at
+    #   the price of a second narrow shuffle.
+    dedupe_tokens = hash_expr is not None
     hash_expr = hash_expr or (lambda t: F.xxhash64(t))
-    # identical semantics to hashing every occurrence (Σ_occurrences ±1 ==
-    # Σ_distinct cnt·±1), but the token hash — the dominant per-row cost
-    # on the md5 oracle-parity path — runs once per distinct (doc, token)
-    # instead of per occurrence (measured 2.3× fewer evals on the sf0.1
-    # corpus); the (id, tok) pre-aggregation is a narrow partial-combining
-    # shuffle
-    toks = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-        )
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", hash_expr(F.col("tok")))
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     )
+    if dedupe_tokens:
+        toks = (
+            ex.groupBy("id", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("h", hash_expr(F.col("tok")))
+        )
+        term = "cnt * ((shiftright(h, {i}) & 1) * 2 - 1)"
+    else:
+        toks = ex.withColumn("h", hash_expr(F.col("tok")))
+        term = "(shiftright(h, {i}) & 1) * 2 - 1"
     # the per-bit aggregates are built as SQL expression strings, not
     # nested Column objects: composing 60 sum(when(...)) trees costs ~8
     # py4j round trips per bit (~3.7 s of driver time per plan build,
@@ -403,10 +412,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # JVM-side in one call per bit. `cnt * (bit*2 - 1)` is the branch-free
     # form of when(bit==1, cnt).otherwise(-cnt)
     bit_sums = toks.groupBy("id").agg(*[
-        F.expr(
-            f"sum(cnt * ((shiftright(h, {i}) & 1) * 2 - 1)) as b{i}"
-        )
-        for i in range(n_bits)
+        F.expr(f"sum({term.format(i=i)}) as b{i}") for i in range(n_bits)
     ])
     # one expression string for the whole signature assembly (bit 63 wraps
     # to the sign bit, as intended)
