@@ -487,7 +487,13 @@ def corpus_clean(spark, d):
 
     from dmp_crawler_spark.operators import dedup as dd
 
-    docs = _t(spark, d, "documents").select("doc_id", "text")
+    # the sf documents table is a single parquet split at bench scale —
+    # widen it so the regex scoring stack (the per-row hot cost) runs
+    # cluster-wide, not on one core (no-op at real scale; see
+    # operators.dedup._widen_scan)
+    docs = dd._widen_scan(
+        _t(spark, d, "documents").select("doc_id", "text")
+    )
     c = F.col("text")
     scored = docs.select(
         "doc_id",
@@ -524,7 +530,10 @@ def _cos(a, b):
 
 
 def ann_topk(spark, d):
-    emb = _t(spark, d, "embeddings").withColumn(
+    from dmp_crawler_spark.operators.dedup import _widen_scan
+
+    # single-split fixture table: widen so the cosine stage is cluster-wide
+    emb = _widen_scan(_t(spark, d, "embeddings")).withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
     q = emb.filter(F.col("vec_id") < 3).select(

@@ -69,6 +69,27 @@ def _cache_evicting(df: DataFrame, slot: str) -> DataFrame:
     return df
 
 
+def _widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW input up to cluster width before
+    expensive per-row compute (shingle explode + N hash evals per row).
+
+    At 100 TB a parquet scan arrives with thousands of splits and this is
+    a no-op (the partition count already exceeds the core count). At
+    bench/test scale the whole documents table is ONE sub-MB file = one
+    split = one row-group, which Spark cannot subdivide — so the
+    per-row hot path (the dominant cost of every signature build) would
+    run on a single core of local[32]. The few-KB round-robin shuffle
+    buys a cluster-wide compute stage — the same reasoning as the fetch
+    stage's repartition (corpus/generator.py fetch_extract)."""
+    sc = df.sparkSession.sparkContext
+    width = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(width) if n < width else df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on the normalized fingerprint. One shuffle;
 # partial aggregation makes the map side cheap. keep='min' gives a
@@ -127,6 +148,7 @@ def minhash_signatures(
     the split/slice/join pipeline 32×. Exploding shingles once and taking
     32 per-row hashes into a partial-aggregating min is both cheaper and
     skew-safe (map-side combine bounds the shuffle by distinct shingles)."""
+    docs = _widen_scan(docs)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, k_shingle))).alias("s"),
@@ -391,6 +413,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     #   the price of a second narrow shuffle.
     dedupe_tokens = hash_expr is not None
     hash_expr = hash_expr or (lambda t: F.xxhash64(t))
+    docs = _widen_scan(docs)
     ex = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dmp_crawler_spark.operators.dedup import cosine_sim
+from dmp_crawler_spark.operators.dedup import _widen_scan, cosine_sim
 
 
 def brute_force_topk(
@@ -30,6 +30,9 @@ def brute_force_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
+    # sub-MB fixture corpus = one parquet split: widen so the per-row
+    # cosine stage runs cluster-wide (no-op at real scale)
+    corpus = _widen_scan(corpus)
     scored = corpus.crossJoin(
         F.broadcast(queries.select(query_id_col, query_vec_col))
     ).select(
@@ -83,6 +86,10 @@ def build_ivf_index(
     cent_col = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
+    # the n_cells-way nearest-centroid scan is the per-row hot cost of the
+    # index build — widen a single-split fixture corpus first (no-op at
+    # real scale)
+    corpus = _widen_scan(corpus)
     indexed = corpus.withColumn("cell", _nearest_centroid(F.col(vec_col), cent_col))
     return indexed, centroids
 
