@@ -309,3 +309,19 @@ def test_corpus_clean_each_stage_drops(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out) == [10, 14]
     byid = {r["doc_id"]: r for r in out}
     assert byid[10]["quality"] == 1.0 and byid[10]["lang_pred"] == "en"
+
+
+def test_widen_scan(spark, tmp_path):
+    """_widen_scan: widens a single-split scan to cluster width and leaves
+    already-wide inputs untouched (same plan object, no extra shuffle)."""
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/one")
+    narrow = spark.read.parquet(f"{tmp_path}/one")
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = dedup._widen_scan(narrow)
+    width = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == width
+    # row set unchanged
+    assert sorted(r.id for r in widened.collect()) == list(range(100))
+
+    wide = spark.range(100, numPartitions=width + 2)
+    assert dedup._widen_scan(wide) is wide
