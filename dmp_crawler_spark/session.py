@@ -55,6 +55,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python-worker reuse OFF: under 32-way local concurrency, Spark
+        # 4.1's reused-worker handoff intermittently loses the wakeup —
+        # the JVM epoll-waits on worker output while the worker blocks in
+        # recvmsg on an empty socket (kernel stacks in
+        # BENCH/BASELINE.md §2n) — stalling whole stages for minutes.
+        # Measured on the 2M-URL crawl at local[32]: 1,804 → 8,130
+        # URLs/s with reuse off (bloom_build phase 184 s → 1.9 s).
+        # Cost is a daemon fork + module re-import per task; our pandas
+        # stages run seconds per task, so it's noise by comparison. On a
+        # real cluster revisit via SPARK_GRAFT_CONF (or the 4.1
+        # spark.python.worker.idleTimeoutSeconds/killOnIdleTimeout
+        # reaper) if per-task fork ever shows up in profiles.
+        .config("spark.python.worker.reuse", "false")
     )
     # Shuffle/spill files are transient — put them on fast local storage
     # (tmpfs here; local NVMe on a real cluster) so shuffle I/O doesn't
@@ -65,6 +78,11 @@ def get_spark(
         shm_dir = "/dev/shm/spark_local"
         os.makedirs(shm_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", shm_dir)
+    # ad-hoc conf overrides without touching call sites (bench A/Bs,
+    # cluster-specific tuning): SPARK_GRAFT_CONF="k=v;k2=v2"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
