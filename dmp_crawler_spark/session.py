@@ -59,7 +59,7 @@ def get_spark(
         # 4.1's reused-worker handoff intermittently loses the wakeup —
         # the JVM epoll-waits on worker output while the worker blocks in
         # recvmsg on an empty socket (kernel stacks in
-        # BENCH/BASELINE.md §2n) — stalling whole stages for minutes.
+        # BENCH/BASELINE.md §2o) — stalling whole stages for minutes.
         # Measured on the 2M-URL crawl at local[32]: 1,804 → 8,130
         # URLs/s with reuse off (bloom_build phase 184 s → 1.9 s).
         # Cost is a daemon fork + module re-import per task; our pandas
@@ -68,7 +68,22 @@ def get_spark(
         # spark.python.worker.idleTimeoutSeconds/killOnIdleTimeout
         # reaper) if per-task fork ever shows up in profiles.
         .config("spark.python.worker.reuse", "false")
+        # ...and make no-reuse forks FREE: the preload daemon imports
+        # pandas/pyarrow/the extractor stack once, so every per-task fork
+        # inherits warm modules copy-on-write instead of re-importing
+        # (~2 s CPU/task; cost the 2M-URL local[8] crawl ~30% throughput).
+        .config("spark.python.daemon.module", "dmp_crawler_spark.daemon_preload")
     )
+    # the daemon is spawned by the JVM with the JVM's inherited PYTHONPATH;
+    # make sure this package is on it (a --py-files zip lands on the worker
+    # path via Spark itself, but plain PYTHONPATH=. runs would otherwise
+    # leave the daemon unable to import us — it degrades gracefully, but
+    # silently loses the preload win).
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if _pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
     # Shuffle/spill files are transient — put them on fast local storage
     # (tmpfs here; local NVMe on a real cluster) so shuffle I/O doesn't
     # contend with durable parquet writes on the data disk. The crawl
