@@ -26,22 +26,29 @@ def get_spark(
     """Build (or reuse) a SparkSession with engine defaults.
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
-    bench harnesses can pin parallelism; on a real cluster pass None and
-    let spark-submit own it.
+    bench harnesses can pin parallelism. Pass ``master=""`` to let
+    spark-submit own the master/deploy-mode (cluster runs): every engine
+    conf below still applies — in particular the no-reuse + preload-daemon
+    worker config (§2o), which the deployment path needs as much as local
+    mode — but ``spark.sql.shuffle.partitions`` is left to
+    spark-defaults/AQE unless explicitly passed (a local-mode 32 would be
+    wrong on a 1000-executor cluster; AQE coalesces down from the
+    cluster's own initialPartitionNum).
     """
+    submit_mode = master == ""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not submit_mode:
         # match effective parallelism in local mode; on a cluster this is
         # sized to corpus volume (≈ input bytes / 128MB), AQE coalesces down.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
 
+    builder = SparkSession.builder if submit_mode else SparkSession.builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -74,6 +81,10 @@ def get_spark(
         # (~2 s CPU/task; cost the 2M-URL local[8] crawl ~30% throughput).
         .config("spark.python.daemon.module", "dmp_crawler_spark.daemon_preload")
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     # the daemon is spawned by the JVM with the JVM's inherited PYTHONPATH;
     # make sure this package is on it (a --py-files zip lands on the worker
     # path via Spark itself, but plain PYTHONPATH=. runs would otherwise

@@ -42,11 +42,11 @@ def main() -> None:
     from dmp_crawler_spark.frontier.scheduler import CorpusFetcher, CrawlEngine
     from dmp_crawler_spark.session import get_spark
 
-    if args.master:
-        spark = get_spark(master=args.master, app_name="crawl_main")
-    else:
-        from pyspark.sql import SparkSession
-        spark = SparkSession.builder.appName("crawl_main").getOrCreate()
+    # master="" → spark-submit owns master/deploy-mode but every engine
+    # conf (AQE, Arrow batching, no-reuse + preload-daemon workers §2o)
+    # still applies — the deployment path must not silently run with
+    # stock worker config.
+    spark = get_spark(master=args.master or "", app_name="crawl_main")
 
     if not args.gen_fetch and not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
         generator.write_pages(spark, args.n_urls, args.corpus)
