@@ -27,13 +27,17 @@ def get_spark(
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
     bench harnesses can pin parallelism. Pass ``master=""`` to let
-    spark-submit own the master/deploy-mode (cluster runs): every engine
-    conf below still applies — in particular the no-reuse + preload-daemon
+    spark-submit own the master/deploy-mode (cluster runs): the engine
+    confs below still apply — in particular the no-reuse + preload-daemon
     worker config (§2o), which the deployment path needs as much as local
-    mode — but ``spark.sql.shuffle.partitions`` is left to
-    spark-defaults/AQE unless explicitly passed (a local-mode 32 would be
-    wrong on a 1000-executor cluster; AQE coalesces down from the
-    cluster's own initialPartitionNum).
+    mode — with three submit-mode exceptions: ``spark.sql.shuffle.
+    partitions`` is left to spark-defaults/AQE unless explicitly passed
+    (a local-mode 32 would be wrong on a 1000-executor cluster),
+    ``spark.driver.memory`` must come from spark-submit flags (the driver
+    JVM is already up in client mode, a builder conf is ignored), and
+    ``spark.local.dir`` is not pointed at /dev/shm (executor containers
+    commonly cap shm at 64MB — opt in via SPARK_GRAFT_CONF if the
+    cluster's hosts have real tmpfs headroom).
     """
     submit_mode = master == ""
     if master is None:
@@ -46,6 +50,14 @@ def get_spark(
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
 
     builder = SparkSession.builder if submit_mode else SparkSession.builder.master(master)
+    if not submit_mode:
+        # driver memory must be set before the driver JVM launches; in
+        # submit mode that JVM already exists (client mode), so a builder
+        # conf here would be silently ignored — pass --driver-memory to
+        # spark-submit instead (round-4 advice).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        )
     builder = (
         builder
         .appName(app_name)
@@ -59,7 +71,6 @@ def get_spark(
         # vectorized-reader batch is ~120MB+ per task and OOMs a shared
         # local-mode heap at 32 concurrent tasks; 256 rows ≈ 8MB/task.
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Python-worker reuse OFF: under 32-way local concurrency, Spark
@@ -100,7 +111,16 @@ def get_spark(
     # contend with durable parquet writes on the data disk. The crawl
     # loop's page-landing write (~300 MB/iteration at bench scale) and the
     # link shuffle otherwise serialize behind one another's writeback.
-    if os.path.isdir("/dev/shm") and os.environ.get("SPARK_GRAFT_SHM", "1") == "1":
+    # Local masters only: in submit mode this conf would be shipped
+    # cluster-wide, and real standalone executors usually run with the
+    # container-default 64MB /dev/shm — large shuffles would exhaust it
+    # and fail jobs (round-4 advice). Cluster runs opt in explicitly via
+    # SPARK_GRAFT_CONF="spark.local.dir=..." sized to the executor hosts.
+    if (
+        not submit_mode
+        and os.path.isdir("/dev/shm")
+        and os.environ.get("SPARK_GRAFT_SHM", "1") == "1"
+    ):
         shm_dir = "/dev/shm/spark_local"
         os.makedirs(shm_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", shm_dir)

@@ -45,8 +45,28 @@ def main() -> None:
     # master="" → spark-submit owns master/deploy-mode but every engine
     # conf (AQE, Arrow batching, no-reuse + preload-daemon workers §2o)
     # still applies — the deployment path must not silently run with
-    # stock worker config.
+    # stock worker config. getOrCreate() silently ignores builder confs
+    # when a session already exists in this process, which would void
+    # that guarantee — make the degraded case loud (round-4 advice).
     spark = get_spark(master=args.master or "", app_name="crawl_main")
+    conf = spark.conf
+    if (
+        conf.get("spark.python.worker.reuse", "true") != "false"
+        or conf.get("spark.python.daemon.module", "")
+        != "dmp_crawler_spark.daemon_preload"
+    ):
+        print(
+            json.dumps({
+                "warning": "engine worker config missing — a pre-existing "
+                           "SparkSession swallowed the builder confs; "
+                           "expect reused-worker stalls (§2o)",
+                "spark.python.worker.reuse":
+                    conf.get("spark.python.worker.reuse", "true"),
+                "spark.python.daemon.module":
+                    conf.get("spark.python.daemon.module", ""),
+            }),
+            file=sys.stderr,
+        )
 
     if not args.gen_fetch and not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
         generator.write_pages(spark, args.n_urls, args.corpus)

@@ -20,7 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dmp_crawler_spark.session import get_spark  # noqa: E402
 
-spark = get_spark(master=os.environ.get("PROBE_MASTER", "" if "SPARK_ENV_LOADED" in os.environ else None),
+# Submit-mode detection: only hand master="" to get_spark when this
+# process was actually launched by spark-submit (its Py4J gateway env is
+# present), not merely in a shell that once sourced spark-env (round-4
+# advice: SPARK_ENV_LOADED leaks through exports and then 'A master URL
+# must be set' kills a plain `python scripts/probe_daemon.py`).
+# PROBE_MASTER overrides either way.
+_submitted = "PYSPARK_GATEWAY_PORT" in os.environ or "SPARK_APPLICATION_ID" in os.environ
+spark = get_spark(master=os.environ.get("PROBE_MASTER", "" if _submitted else None),
                   app_name="probe_daemon")
 
 
