@@ -51,6 +51,107 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal BMP writer (24-bit BI_RGB, BITMAPINFOHEADER) for fixtures:
+    pixels is (H, W, 3) uint8 RGB. top_down=True writes a negative-height
+    header (rows in natural order); otherwise rows are stored bottom-up,
+    per the format default. Pure struct packing — no codec libs."""
+    h, w, _ = pixels.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    stride = row_raw + pad
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        img_size, 2835, 2835, 0, 0,
+    )
+    rows = pixels if top_down else pixels[::-1]
+    body = bytearray()
+    padding = b"\x00" * pad
+    for r in rows:
+        body += r[:, ::-1].tobytes()  # RGB → BGR storage order
+        body += padding
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL (non-stub) decode for the one codec this environment can carry
+    without external libs: uncompressed BMP (BI_RGB, BITMAPINFOHEADER,
+    24- or 32-bit). Returns (H, W, 3) uint8 RGB. Handles bottom-up
+    (positive height) and top-down (negative height) storage, 4-byte row
+    padding, and BGR(A) channel order. Raises ValueError on anything the
+    parser does not fully understand — no silent wrong pixels."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP variant: planes={planes} bpp={bpp} "
+            f"compression={compression}"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h_raw}")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated pixel array: {len(payload)} < {need}")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    # stored BGR(A) → RGB: take channels 2,1,0 (drops A when present)
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def _bmp_features(payload: bytes) -> np.ndarray:
+    """REAL feature vector from a decoded BMP: header geometry, exact
+    per-channel SUMS (integers ≤ 2^24, so exact in float32 — no rounding
+    parity risk for the SQL oracle), and three pixel probes ((0,0),
+    (x=1,y=2), (W-1,H-1)) — the probes make channel order and row
+    direction load-bearing, so a BGR swap or a bottom-up/top-down mix-up
+    fails the oracle, not just a unit test."""
+    px = decode_bmp(payload)
+    h, w, _ = px.shape
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    p00 = px[0, 0]
+    p12 = px[min(2, h - 1), min(1, w - 1)]
+    pwh = px[h - 1, w - 1]
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[:14] = [
+        w, h,
+        sums[0], sums[1], sums[2],
+        p00[0], p00[1], p00[2],
+        p12[0], p12[1], p12[2],
+        pwh[0], pwh[1], pwh[2],
+    ]
+    return out
+
+
+def _strict_decode_features(payload: bytes) -> np.ndarray:
+    """strict=True path: REAL decode for formats the environment can
+    handle without codec libs (currently BMP); everything else keeps the
+    documented NotImplementedError stub (Pillow/ffmpeg absent here)."""
+    if payload is not None and payload[:2] == b"BM":
+        return _bmp_features(payload)
+    raise NotImplementedError(
+        "strict decode implemented for BMP only in this environment — "
+        "JPEG/PNG/audio/video need Pillow/ffmpeg (not in the container)"
+    )
+
+
 def _fake_decode_features(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake for the codec step. A real deployment
     plugs Pillow/torchaudio/ffmpeg here; the container lacks them, so the
@@ -63,16 +164,18 @@ def _fake_decode_features(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """(media_id, kind, payload) → FEATURE_DIM float features per item.
-    Column-prunes to exactly the needed columns before the Python stage."""
-    if strict:
-        raise NotImplementedError(
-            "real media decode requires Pillow/ffmpeg — not available in this "
-            "environment; run with strict=False for the deterministic stub"
-        )
+    Column-prunes to exactly the needed columns before the Python stage.
+
+    strict=False: deterministic hash-expansion stub for every payload
+    (plumbing test mode). strict=True: REAL decode — BMP payloads are
+    parsed by decode_bmp (geometry + channel means + pixel probes);
+    formats needing codec libs the container lacks raise
+    NotImplementedError per item, loudly, instead of faking."""
+    decode = _strict_decode_features if strict else _fake_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode_features(p).tolist() for p in pdf["payload"].values]
+            feats = [decode(p).tolist() for p in pdf["payload"].values]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].values,
                 "kind": pdf["kind"].values,
@@ -150,3 +253,40 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     (e.g. documents.doc_id) instead of self-generating, so an external
     oracle can re-derive the identical shape from the same source table."""
     return ids.select(id_col).mapInPandas(_gen_media(id_col), MEDIA_SCHEMA)
+
+
+def _bmp_pixels(i: int) -> np.ndarray:
+    """Deterministic test image i: W=8+i%9, H=6+i%7, pixel (x, y) =
+    (R, G, B) = ((x+i)%256, (2y+i)%256, (3x+5y+i)%256). Every channel is
+    a distinct affine form in (x, y), so any transpose / flip / channel
+    swap in the decoder shifts at least one probe value."""
+    w = 8 + i % 9
+    h = 6 + i % 7
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (x + i) % 256 + np.zeros((h, w), dtype=np.int64)
+    g = (2 * y + i) % 256 + np.zeros((h, w), dtype=np.int64)
+    b = (3 * x + 5 * y + i) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def bmp_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL-codec media table: one 24-bit BMP per id, pixels
+    from _bmp_pixels; odd ids are stored top-down (negative height),
+    even ids bottom-up, so both row orders stay exercised end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].values:
+                i = int(i)
+                px = _bmp_pixels(i)
+                rows.append({
+                    "media_id": i, "kind": "image", "mime": "image/bmp",
+                    "payload": encode_bmp(px, top_down=(i % 2 == 1)),
+                    "meta": {"width": px.shape[1], "height": px.shape[0],
+                             "duration_ms": None, "sample_rate": None},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)

@@ -237,10 +237,58 @@ def test_multimodal_frame_sampling(spark):
         assert r["count"] == exp
 
 
-def test_multimodal_strict_raises(spark):
-    media = multimodal.generate_media(spark, 3)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, strict=True)
+def test_multimodal_strict_raises_for_codecless_formats(spark):
+    """strict=True decodes BMP for real; jpeg/wav/mp4 payloads (no codec
+    libs in this container) must still fail loudly, now per-item inside
+    the UDF rather than driver-side."""
+    media = multimodal.generate_media(spark, 3)  # jpeg/wav/mp4 fakes
+    with pytest.raises(Exception, match="strict decode implemented for BMP"):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_bmp_roundtrip_and_strict_features(spark):
+    """REAL decode path (round-4 verdict #5): encode_bmp → decode_bmp is
+    pixel-exact for bottom-up AND top-down storage; strict extract_features
+    over a generated BMP table reproduces geometry, exact channel sums and
+    pixel probes straight from the pixel formula."""
+    import numpy as np
+
+    for i in (0, 1, 6, 13, 255, 1000):
+        px = multimodal._bmp_pixels(i)
+        for td in (False, True):
+            assert np.array_equal(
+                multimodal.decode_bmp(multimodal.encode_bmp(px, top_down=td)), px
+            )
+    ids = spark.range(0, 20).select(F.col("id").alias("media_id"))
+    media = multimodal.bmp_media_from_ids(ids)
+    feats = multimodal.extract_features(media, strict=True)
+    rows = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert len(rows) == 20
+    for i, f in rows.items():
+        px = multimodal._bmp_pixels(i)
+        h, w = px.shape[:2]
+        expect = (
+            [w, h]
+            + px.reshape(-1, 3).sum(axis=0).tolist()
+            + px[0, 0].tolist() + px[2, 1].tolist() + px[h - 1, w - 1].tolist()
+        )
+        assert [int(v) for v in f[:14]] == expect, i
+
+
+def test_decode_bmp_rejects_malformed():
+    import struct
+
+    px = multimodal._bmp_pixels(5)
+    good = multimodal.encode_bmp(px)
+    for bad in (b"", b"XX" + b"\x00" * 60, good[:40], good[:60]):
+        with pytest.raises(ValueError):
+            multimodal.decode_bmp(bad)
+    # unsupported variant: 8-bit palette
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 64, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 8, 0, 64, 2835, 2835, 0, 0
+    )
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        multimodal.decode_bmp(hdr + b"\x00" * 64)
 
 
 def test_ivf_pretrained_centroids_exact_pruned(spark):
