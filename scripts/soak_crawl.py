@@ -32,6 +32,20 @@ tombstone path engages in a LIVE crawl (the default 10M gate would need
 VALUE comes from the committed crossover probes, this soak evidences the
 CROSSING behavior: per-iteration mode is recorded and per-URL cost must
 stay flat through it). SOAK_OUT overrides the BENCH output filename.
+
+Round-5 knobs (default-gate 10M+ soak, round-4 verdict items 2+6):
+  SOAK_STATE    fixed state dir (default: fresh tempdir). Lets a second
+                process resume the same crawl.
+  SOAK_RESUME=1 resume from SOAK_STATE's last checkpoint instead of
+                re-seeding — a REAL process-boundary resume mid-soak.
+  SOAK_PRUNE=1  after each iteration, delete combined/ page-landing dirs
+                older than the previous iteration. The kind=page text is
+                ~97% of the soak's bytes and at 10M+ crawled would blow
+                the sandbox disk; in production those rows land in the
+                Iceberg pages table (external storage), not the engine
+                state dir, so pruning models the real layout. Frontier /
+                seen / bloom / checkpoints — the actual resume state —
+                are never touched.
 """
 
 from __future__ import annotations
@@ -52,6 +66,10 @@ ITERS = int(os.environ.get("SOAK_ITERS", "20"))
 CPUS = os.environ.get("SOAK_CPUS", "32")
 LSM_GATE = os.environ.get("SOAK_LSM_GATE")  # rows; None = engine default
 OUT_NAME = os.environ.get("SOAK_OUT", "soak_20iter.json")
+STATE_DIR = os.environ.get("SOAK_STATE")  # None = fresh tempdir
+RESUME = os.environ.get("SOAK_RESUME", "0") == "1"
+PRUNE = os.environ.get("SOAK_PRUNE", "0") == "1"
+SALTS = os.environ.get("SOAK_SALTS")  # hot-host salted admission; None = off
 
 
 def main() -> None:
@@ -65,23 +83,31 @@ def main() -> None:
          for i in range(N_SEEDS)],
         "seed string, site string",
     )
-    tmp = tempfile.mkdtemp(prefix="soak_")
+    state = STATE_DIR or os.path.join(tempfile.mkdtemp(prefix="soak_"), "state")
     kw = {}
     if LSM_GATE is not None:
         kw["lsm_min_frontier"] = int(LSM_GATE)
     eng = CrawlEngine(
-        spark, os.path.join(tmp, "state"),
+        spark, state,
         generator.GeneratorFetcher(spark, N_URLS),
         generator.generate_site_rules(spark),
         per_host_budget=BUDGET, global_budget=GLOBAL, n_bloom_shards=16,
+        admit_salts=int(SALTS) if SALTS else None,
         **kw,
     )
-    eng.init_from_seeds(seeds)
+    resumed_from = None
+    if RESUME and eng.last_checkpoint() is not None:
+        resumed_from = eng.last_checkpoint()["iter"]
+        print(f"# resuming from checkpoint iter={resumed_from}", file=sys.stderr)
+    else:
+        eng.init_from_seeds(seeds)
 
     from bench import _cpu_steal_jiffies
 
     iters = []
-    crawled_total = 0
+    crawled_total = (
+        eng.last_checkpoint().get("pages_crawled_total", 0) if resumed_from else 0
+    )
     for i in range(ITERS):
         # constant-batch metering: global_budget is cumulative (reference
         # setMaxPagesToFetch semantics), so raise it by the per-iteration
@@ -100,8 +126,20 @@ def main() -> None:
         s1, j1 = _cpu_steal_jiffies()
         admitted = m.get("admitted", 0)
         crawled_total += admitted
+        k_now = eng.last_checkpoint()["iter"]
+        if PRUNE:
+            # page landings older than the just-finished iteration model
+            # external (Iceberg) storage — see module docstring. Resume
+            # state (frontier/seen/bloom/checkpoints) is never pruned.
+            import shutil
+            cdir = os.path.join(state, "combined")
+            if os.path.isdir(cdir):
+                for name in os.listdir(cdir):
+                    if name.startswith("iter=") and int(name.split("=")[1]) < k_now:
+                        shutil.rmtree(os.path.join(cdir, name), ignore_errors=True)
         iters.append({
             "iter": i,
+            "engine_iter": k_now,
             "mode": mode,
             "pending_before": pending_before,
             "admitted": admitted,
@@ -140,7 +178,10 @@ def main() -> None:
         "workload": {"SOAK_URLS": N_URLS, "SOAK_SEEDS": N_SEEDS,
                      "SOAK_BUDGET": BUDGET, "SOAK_GLOBAL": GLOBAL,
                      "SOAK_ITERS": ITERS, "SOAK_CPUS": CPUS,
-                     "SOAK_LSM_GATE": LSM_GATE},
+                     "SOAK_LSM_GATE": LSM_GATE, "SOAK_STATE": STATE_DIR,
+                     "SOAK_RESUME": RESUME, "SOAK_PRUNE": PRUNE,
+                     "SOAK_SALTS": SALTS},
+        "resumed_from_iter": resumed_from,
         "modes": {m: sum(1 for it in iters if it["mode"] == m)
                   for m in ("fold", "lsm")},
         "per_iter": iters,
