@@ -55,6 +55,20 @@ def admit(frontier: DataFrame, per_host_budget: int,
          top-budget (each salt keeps a superset of its contribution).
       2. exact rank on the survivors — now ≤ budget × n_salts rows per
          host, bounded regardless of frontier skew.
+
+    MEASURED (round 5, BENCH/skew_admission_ab_r05*.json): on Spark ≥3.5
+    the default n_salts=None path is ALREADY two-phase skew-safe — the
+    `row_number() <= budget` filter compiles to a partial
+    WindowGroupLimit BEFORE the host shuffle (map-side per-host top-k,
+    plan-asserted in tests/test_plans.py), so a hot host contributes at
+    most budget × map_partitions rows to its reducer regardless of how
+    much of the frontier it owns. A/B on a frontier where one host held
+    50-67% of 8-48M pending rows: identical admitted sets (bidirectional
+    exceptAll = 0), and plain admission matched or beat the explicit
+    salted plan at every scale (the salted path pays a second full
+    shuffle+rank pass over the cold hosts). Keep n_salts for engines
+    without the WindowGroupLimit rule (Spark < 3.5); on this engine the
+    None default is the measured right answer.
     """
     if n_salts is not None and n_salts > 1:
         salt_w = Window.partitionBy("host", "__salt").orderBy(

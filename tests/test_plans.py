@@ -60,6 +60,32 @@ def test_admission_plan_single_shuffle(spark):
     assert inspect.count_exchanges(admitted) == 1
 
 
+def test_admission_plan_has_partial_window_group_limit(spark):
+    """Skew safety of PLAIN admission (round-5 A/B evidence,
+    BENCH/skew_admission_ab_r05*.json): the rank<=budget filter must
+    compile to a partial WindowGroupLimit BEFORE the host exchange —
+    map-side per-host top-k — so a Zipf-hot host contributes at most
+    budget × map_partitions rows to its reducer. If this node disappears
+    (conf change, Spark regression), hot-host admission silently becomes
+    one-task-bound and the salted fallback (admit n_salts) is needed."""
+    from dmp_crawler_spark.frontier import politeness
+
+    fr = spark.createDataFrame(
+        [(f"http://h{i%5}.x/{i}", f"h{i%5}.x", i % 3, 0, 1.0, 0) for i in range(100)],
+        "url string, host string, depth int, discovery_iter int, score double, retry_count int",
+    )
+    admitted = politeness.admit(fr, per_host_budget=3)
+    plan = inspect.physical_plan(admitted)
+    first_wgl = plan.find("WindowGroupLimit")
+    first_ex = plan.find("Exchange")
+    assert first_wgl != -1, "WindowGroupLimit missing from admission plan"
+    # physical plans print top-down: the map-side (partial) WindowGroupLimit
+    # sits BELOW the exchange, i.e. appears AFTER it in the printed tree
+    assert plan.rfind("WindowGroupLimit") > first_ex, (
+        "no partial (pre-shuffle) WindowGroupLimit — map-side top-k lost"
+    )
+
+
 def test_global_budget_is_distributed_topk(spark):
     """The global cap must compile to TakeOrderedAndProject (distributed
     per-partition top-K), NOT a row_number over an unpartitioned Window
