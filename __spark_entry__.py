@@ -44,6 +44,7 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   event_hourly / event_gaps  event-time analytics (streaming batch form)
   crawl_bfs_oracle    REAL CrawlEngine 3-iteration BFS vs unrolled SQL replay
   bmp_decode_stats    REAL (non-stub) BMP decode vs pixel-formula replay
+  repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
 Rows-only (non-SQL-expressible): crawl_engine_smoke (iterative, stateful,
   checkpointed) — every other queries() entry has a full DuckDB oracle,
   including the crawl loop itself via crawl_bfs_oracle.
@@ -1186,6 +1187,25 @@ def bmp_decode_stats(spark, d):
     )
 
 
+def repetition_filter(spark, d):
+    """Gopher repetition rules (Rae et al. 2021 Table A1) over documents:
+    duplicate-line fraction, duplicate-line character fraction, and the
+    top word-bigram token fraction, gated at the published thresholds
+    (≤0.30 / ≤0.20 / ≤0.18) — the boilerplate/spam filter every
+    LLM-training-data sweep runs before dedup. The synthetic corpus is
+    single-line, so line structure is simulated deterministically by
+    breaking the text into two-token lines (every second inter-word space
+    becomes a newline) — the tiny word-salad vocabulary then yields
+    genuinely repeated lines AND bigrams, so all three stats are
+    non-trivial and every arm of the operator is hash-checked."""
+    docs = _t(spark, d, "documents")
+    sim = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+) ", "$1\n").alias("text"),
+    )
+    return TS.repetition_stats(sim)
+
+
 def c9_locale_parse(spark, d):
     """C9 locale datetime parse (Crawler4PCAuto.java:655-671,
     convertTimeString: SimpleDateFormat 'EEE MMM dd HH:mm:ss zzz yyyy' @
@@ -1613,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     and the real (non-stub) BMP decode path ---
         "crawl_bfs_oracle": crawl_bfs_oracle,
         "bmp_decode_stats": bmp_decode_stats,
+        "repetition_filter": repetition_filter,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -1844,6 +1865,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST((3*(w-1) + 5*(h-1) + i) % 256 AS BIGINT) AS pwh_b
             FROM grid
             GROUP BY i, w, h
+        """,
+        # Gopher repetition rules replayed with DuckDB list functions;
+        # same two-token-line simulation as the Spark side
+        "repetition_filter": """
+            WITH sim AS (
+                SELECT doc_id,
+                       regexp_replace(text, '(\\S+ \\S+) ',
+                                      '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM sim
+            ), st AS (
+                SELECT doc_id, toks,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_dist,
+                       coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                         AS tot_chars,
+                       coalesce(list_sum(list_transform(list_distinct(lines),
+                                                        x -> length(x))), 0)
+                         AS dist_chars,
+                       len(toks) AS n_tok
+                FROM base
+            ), big AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, n_tok),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM st WHERE n_tok >= 2
+            ), cnt AS (
+                SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+            ), top AS (
+                SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY doc_id
+            ), fr AS (
+                SELECT st.doc_id,
+                       round(CASE WHEN n_lines > 0
+                             THEN 1.0 - CAST(n_dist AS DOUBLE) / n_lines
+                             ELSE 0.0 END, 4) AS dup_line_frac,
+                       round(CASE WHEN tot_chars > 0
+                             THEN 1.0 - CAST(dist_chars AS DOUBLE) / tot_chars
+                             ELSE 0.0 END, 4) AS dup_line_char_frac,
+                       round(CASE WHEN n_tok >= 2
+                             THEN CAST(coalesce(top_cnt, 0) AS DOUBLE) / (n_tok - 1)
+                             ELSE 0.0 END, 4) AS top_bigram_frac
+                FROM st LEFT JOIN top ON st.doc_id = top.doc_id
+            )
+            SELECT doc_id, dup_line_frac, dup_line_char_frac, top_bigram_frac,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND top_bigram_frac <= 0.18) AS rep_keep
+            FROM fr
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "simhash_pairs_oracle",
     "ngram_jaccard",
     "corpus_clean",
+    "repetition_filter",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:

@@ -124,3 +124,112 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     return F.when(n >= k, F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
     )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher rules, Rae et al. 2021 Table A1): documents
+# dominated by repeated lines or by one repeated n-gram are boilerplate /
+# spam and poison LLM training data. All line stats are per-row array
+# expressions (zero shuffle); only the top-bigram mode needs aggregation.
+
+
+def _line_array(col: Column | str) -> Column:
+    """Non-blank, space-trimmed lines of a text column."""
+    return F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def dup_line_frac(col: Column | str) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line
+    (1 - distinct/total); 0.0 for line-less text."""
+    lines = _line_array(col)
+    n = F.size(lines)
+    return F.round(
+        F.when(n > 0, 1.0 - F.size(F.array_distinct(lines)).cast("double") / n)
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+
+
+def dup_line_char_frac(col: Column | str) -> Column:
+    """Fraction of line characters carried by repeated line occurrences
+    (1 - chars(distinct lines)/chars(all lines)); 0.0 for line-less text."""
+    lines = _line_array(col)
+    tot = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dist = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return F.round(
+        F.when(tot > 0, 1.0 - dist.cast("double") / tot).otherwise(F.lit(0.0)), 4
+    )
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition filters → (id, dup_line_frac,
+    dup_line_char_frac, top_bigram_frac, rep_keep).
+
+    top_bigram_frac is the token-fraction variant of the Gopher "top
+    2-gram" rule: occurrences of the modal word bigram / total bigrams.
+    rep_keep applies the published thresholds (dup lines ≤0.30, dup line
+    chars ≤0.20, top 2-gram ≤0.18) to the rounded stats.
+
+    Plan shape for 100 TB: two branches over one scan, joined on the
+    (skew-free) document id. The line stats MUST live on their own
+    branch: inlined next to the bigram explode, Catalyst's
+    CollapseProject pushes them below the Generate and the O(doc-length)
+    line arrays get recomputed once per BIGRAM — O(len²) per document
+    (the §2j corpus_clean trap, caught again here by plan audit). On
+    their own branch they are a pure per-row projection (whole-stage
+    codegen, no shuffle before the join). The bigram branch is explode
+    of a minimal (id, bigram) pair → partial-aggregating
+    groupBy(id, bigram) → groupBy(id) max, so only ids and 2-grams ride
+    the shuffles, never text.
+    """
+    c = _c(text_col)
+    toks = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = docs.select(
+        F.col(id_col).alias("id"),
+        dup_line_frac(c).alias("dup_line_frac"),
+        dup_line_char_frac(c).alias("dup_line_char_frac"),
+        (n_tok - 1).alias("n_bigrams"),
+    )
+    per_bg = (
+        docs.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = per_bg.groupBy("id").agg(F.max("cnt").alias("top_cnt"))
+    joined = stats.join(top, "id", "left")
+    tbf = F.round(
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
+            / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        tbf.alias("top_bigram_frac"),
+        (
+            (F.col("dup_line_frac") <= 0.30)
+            & (F.col("dup_line_char_frac") <= 0.20)
+            & (tbf <= 0.18)
+        ).alias("rep_keep"),
+    )

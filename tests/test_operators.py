@@ -373,3 +373,46 @@ def test_widen_scan(spark, tmp_path):
 
     wide = spark.range(100, numPartitions=width + 2)
     assert dedup._widen_scan(wide) is wide
+
+
+def test_repetition_stats_each_arm(spark):
+    """Gopher repetition filters: one planted doc per failure arm, plus a
+    clean doc — the dup-line arms, the top-bigram arm, and the empty/
+    degenerate edge all produce the documented values."""
+    from dmp_crawler_spark.functions import textstats as TS
+
+    rows = [
+        # clean: 4 distinct lines, varied bigrams
+        (1, "alpha beta gamma\ndelta epsilon zeta\neta theta iota\nkappa lambda mu"),
+        # dup lines: 'spam ham' 3x of 4 lines -> dup_line_frac 0.5,
+        # dup_line_char_frac = 1 - (7+26)/(21+26) = 0.2979
+        (2, "spam ham\nspam ham\nspam ham\nunique line with more text"),
+        # top bigram: 'buy now' 5x in 10 tokens -> 5 occurrences of the
+        # modal bigram over 9 bigrams = 0.5556
+        (3, "buy now buy now buy now buy now buy now"),
+        # degenerate: single token, no bigrams, one line
+        (4, "word"),
+        # blank
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.repetition_stats(df).collect()}
+    assert len(out) == 5
+    r1 = out[1]
+    assert r1["dup_line_frac"] == 0.0 and r1["dup_line_char_frac"] == 0.0
+    assert r1["rep_keep"]
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.5
+    assert r2["dup_line_char_frac"] == round(1 - (8 + 26) / (3 * 8 + 26), 4)
+    assert not r2["rep_keep"]
+    r3 = out[3]
+    assert r3["top_bigram_frac"] == round(5 / 9, 4)
+    assert not r3["rep_keep"]
+    assert r3["dup_line_frac"] == 0.0
+    r4 = out[4]
+    assert (r4["dup_line_frac"], r4["top_bigram_frac"]) == (0.0, 0.0)
+    assert r4["rep_keep"]
+    r5 = out[5]
+    assert (r5["dup_line_frac"], r5["dup_line_char_frac"],
+            r5["top_bigram_frac"]) == (0.0, 0.0, 0.0)
+    assert r5["rep_keep"]
