@@ -45,6 +45,7 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   crawl_bfs_oracle    REAL CrawlEngine 3-iteration BFS vs unrolled SQL replay
   bmp_decode_stats    REAL (non-stub) BMP decode vs pixel-formula replay
   repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
+  line_dedup_clean    CCNet cross-document line dedup + reassembly
 Rows-only (non-SQL-expressible): crawl_engine_smoke (iterative, stateful,
   checkpointed) — every other queries() entry has a full DuckDB oracle,
   including the crawl loop itself via crawl_bfs_oracle.
@@ -1206,6 +1207,25 @@ def repetition_filter(spark, d):
     return TS.repetition_stats(sim)
 
 
+def line_dedup_clean(spark, d):
+    """CCNet-style cross-document line dedup (Wenzek et al. 2019): drop
+    every line whose normalized form appears in >2 distinct documents —
+    the boilerplate filter (nav menus, banners, footers) that runs before
+    document-level dedup in a web-text pipeline. Same deterministic line
+    simulation idea as repetition_filter but at three-token granularity,
+    which on this corpus yields ~3% corpus-repeated lines (measured
+    max doc-freq 10) — so both the drop and keep arms carry real data and
+    the ordered reassembly is hash-checked against DuckDB."""
+    from dmp_crawler_spark.operators import dedup as dd
+
+    docs = _t(spark, d, "documents")
+    sim = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n").alias("text"),
+    )
+    return dd.line_dedup(sim, max_doc_freq=2)
+
+
 def c9_locale_parse(spark, d):
     """C9 locale datetime parse (Crawler4PCAuto.java:655-671,
     convertTimeString: SimpleDateFormat 'EEE MMM dd HH:mm:ss zzz yyyy' @
@@ -1634,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_oracle": crawl_bfs_oracle,
         "bmp_decode_stats": bmp_decode_stats,
         "repetition_filter": repetition_filter,
+        "line_dedup_clean": line_dedup_clean,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -1919,6 +1940,42 @@ def oracle_sql() -> dict[str, str]:
                    (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
                     AND top_bigram_frac <= 0.18) AS rep_keep
             FROM fr
+        """,
+        # CCNet line dedup: same 3-token-line simulation; DuckDB zips the
+        # parallel unnests so line order is replayed exactly
+        "line_dedup_clean": """
+            WITH sim AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\\S+ ){2}\\S+) ',
+                                      '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ), ln AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+                FROM sim
+            ), lines AS (
+                SELECT doc_id, pos, line, lower(trim(line)) AS norm
+                FROM ln WHERE lower(trim(line)) <> ''
+            ), freqs AS (
+                SELECT norm, count(DISTINCT doc_id) AS nd FROM lines GROUP BY norm
+            ), kept AS (
+                SELECT l.doc_id,
+                       string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM lines l JOIN freqs f USING (norm)
+                WHERE f.nd <= 2
+                GROUP BY l.doc_id
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d
+            LEFT JOIN totals t ON d.doc_id = t.doc_id
+            LEFT JOIN kept k ON d.doc_id = k.doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

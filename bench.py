@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "corpus_clean",
     "repetition_filter",
+    "line_dedup_clean",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:

@@ -631,3 +631,77 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document line dedup (Wenzek et al. 2019): boilerplate
+# lines (nav menus, cookie banners, footers) repeat across many pages of a
+# site; dropping every line whose normalized form occurs in more than K
+# distinct documents removes them corpus-wide without any per-site rules.
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Drop lines appearing in more than ``max_doc_freq`` distinct docs →
+    (id, clean_text, n_lines, n_kept).
+
+    Line key = lower(trim(line)); blank lines are always dropped.
+    ``clean_text`` rebuilds the kept lines in original order ('\\n'
+    joined, '' when nothing survives), so the output is a drop-in
+    replacement text column.
+
+    Plan shape for 100 TB: posexplode (line order rides as an int, never
+    re-derived) → count(DISTINCT id) per norm (two-level partial agg) →
+    join lines⋈freqs on norm → groupBy(id) ordered reassembly. The
+    norm-key join is the skew point (a corpus-wide boilerplate line is a
+    hot key); freqs carries one row per distinct norm so AQE's skew-join
+    split handles it, and only (norm, nd) rides the build side — never
+    text bodies. n_lines (non-blank line count) is a per-row array
+    expression on the base branch, NOT a third pass over the exploded
+    lines — the corpus is read twice (freq count + join side), no more.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    nonblank = lines.filter(F.col("norm") != "")
+    freqs = nonblank.groupBy("norm").agg(
+        F.countDistinct("id").alias("nd")
+    )
+    kept = (
+        nonblank.join(freqs, "norm")
+        .filter(F.col("nd") <= max_doc_freq)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    n_lines = F.size(
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"), n_lines.cast("long").alias("n_lines")
+    )
+    return (
+        base.join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

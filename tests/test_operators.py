@@ -416,3 +416,36 @@ def test_repetition_stats_each_arm(spark):
     assert (r5["dup_line_frac"], r5["dup_line_char_frac"],
             r5["top_bigram_frac"]) == (0.0, 0.0, 0.0)
     assert r5["rep_keep"]
+
+
+def test_line_dedup_cross_doc_boilerplate(spark):
+    """CCNet line dedup: the banner line shared by 3 docs drops, unique
+    content survives in original order, within-doc repeats of a rare line
+    survive (frequency is counted in DISTINCT docs), blank lines always
+    drop, and an all-boilerplate doc comes back empty."""
+    banner = "COOKIE BANNER accept all"
+    rows = [
+        (1, f"{banner}\nunique first line\n\nunique second line"),
+        (2, f"intro text\n{banner}\nmore content here"),
+        # rare line repeated twice WITHIN one doc: kept both times
+        (3, f"{banner}\nrare line\nrare line"),
+        (4, banner),           # everything boilerplate -> ''
+        (5, "solo document"),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, max_doc_freq=2).collect()}
+    assert len(out) == 5
+    assert out[1]["clean_text"] == "unique first line\nunique second line"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "intro text\nmore content here"
+    assert out[3]["clean_text"] == "rare line\nrare line"
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (3, 2)
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["clean_text"] == "solo document"
+    # case/whitespace-insensitive norm: '  cookie banner ACCEPT ALL ' in a
+    # 4th doc would also have dropped — verify the norm key directly
+    df2 = df.union(spark.createDataFrame(
+        [(6, "  cookie banner ACCEPT ALL \nfresh content")],
+        "doc_id long, text string"))
+    out2 = {r["doc_id"]: r for r in dedup.line_dedup(df2, max_doc_freq=2).collect()}
+    assert out2[6]["clean_text"] == "fresh content"
