@@ -46,6 +46,7 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   bmp_decode_stats    REAL (non-stub) BMP decode vs pixel-formula replay
   repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
   line_dedup_clean    CCNet cross-document line dedup + reassembly
+  pii_scrub_clean     typed PII redaction (email/IPv4/phone) + counts
 Rows-only (non-SQL-expressible): crawl_engine_smoke (iterative, stateful,
   checkpointed) — every other queries() entry has a full DuckDB oracle,
   including the crawl loop itself via crawl_bfs_oracle.
@@ -1226,6 +1227,39 @@ def line_dedup_clean(spark, d):
     return dd.line_dedup(sim, max_doc_freq=2)
 
 
+def pii_scrub_clean(spark, d):
+    """PII redaction (the Dolma/ROOTS-style pass): emails, IPv4s, and
+    dashed phone numbers replaced with typed tokens, with per-type
+    counts. The corpus has no natural PII, so it is planted
+    deterministically from doc_id (every 3rd doc an email, 4th an IP,
+    5th a phone — some docs get several, most get none), then the scrub
+    and counts are hash-checked against an identical DuckDB/RE2 replay —
+    the patterns avoid constructs whose meaning differs between Java
+    regex and RE2, and the test of that claim is this oracle."""
+    docs = _t(spark, d, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    sim = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), s(did),
+                F.lit("@example"), s(did % 7), F.lit(".com"),
+            )).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.concat(
+                F.lit(" from 10."), s(did % 256),
+                F.lit("."), s((did * 3) % 256), F.lit(".7"),
+            )).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" call 021-5"),
+                F.lpad(s(did % 1000), 3, "0"), F.lit("-0134"),
+            )).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TS.pii_scrub(sim)
+
+
 def c9_locale_parse(spark, d):
     """C9 locale datetime parse (Crawler4PCAuto.java:655-671,
     convertTimeString: SimpleDateFormat 'EEE MMM dd HH:mm:ss zzz yyyy' @
@@ -1655,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode_stats": bmp_decode_stats,
         "repetition_filter": repetition_filter,
         "line_dedup_clean": line_dedup_clean,
+        "pii_scrub_clean": pii_scrub_clean,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -1976,6 +2011,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN totals t ON d.doc_id = t.doc_id
             LEFT JOIN kept k ON d.doc_id = k.doc_id
+        """,
+        # PII scrub replay: same planted PII, same email→IP→phone pass
+        # order, RE2 equivalents of the Java patterns
+        "pii_scrub_clean": """
+            WITH sim AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example' ||
+                            (doc_id % 7) || '.com' ELSE '' END ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN ' from 10.' || (doc_id % 256) || '.' ||
+                            ((doc_id * 3) % 256) || '.7' ELSE '' END ||
+                  CASE WHEN doc_id % 5 = 0
+                       THEN ' call 021-5' ||
+                            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                            '-0134' ELSE '' END AS text
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                         AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM sim
+            ), s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                         AS n_ips,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\\b\\d{3}-\\d{4}-\\d{4}\\b',
+                                  '<PHONE>', 'g') AS clean_text,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(n_ips AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2, '\\b\\d{3}-\\d{4}-\\d{4}\\b'))
+                        AS BIGINT) AS n_phones
+            FROM s2
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

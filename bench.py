@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "repetition_filter",
     "line_dedup_clean",
+    "pii_scrub_clean",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:

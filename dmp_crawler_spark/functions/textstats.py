@@ -233,3 +233,40 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
             & (tbf <= 0.18)
         ).alias("rep_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (the Dolma / ROOTS-style redaction pass): emails, IPv4
+# addresses, and dashed phone numbers are replaced with typed tokens
+# before text ships to training. Patterns deliberately avoid lookarounds
+# so they mean the same thing under Java regex (Spark) and RE2 (DuckDB),
+# which is what makes the pass oracle-checkable cross-engine.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}-\d{4}\b"
+
+
+def pii_scrub(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Redact PII → (id, clean_text, n_emails, n_ips, n_phones).
+
+    Replacement order is email → IPv4 → phone, with each count taken on
+    the intermediate string the pattern actually ran against, so the
+    three passes compose deterministically (an email's host part can
+    never be double-counted as an IP, etc). Pure Column expressions —
+    whole-stage codegen, zero shuffle, linear in corpus size.
+    """
+    t0 = _c(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )

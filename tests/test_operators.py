@@ -449,3 +449,33 @@ def test_line_dedup_cross_doc_boilerplate(spark):
         "doc_id long, text string"))
     out2 = {r["doc_id"]: r for r in dedup.line_dedup(df2, max_doc_freq=2).collect()}
     assert out2[6]["clean_text"] == "fresh content"
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    """PII scrub: each pattern hits its own shapes, word boundaries keep
+    digit-adjacent lookalikes intact, and the email→IP→phone pass order
+    composes (an IP-hosted address loses only its host part)."""
+    from dmp_crawler_spark.functions import textstats as TS
+
+    rows = [
+        (1, "mail john.doe+x@sub.example.org today"),
+        (2, "servers 192.168.0.1 and 10.0.0.255."),
+        (3, "call 021-5555-0134 now"),
+        (4, "not a phone 1021-5555-01345 nor an ip 1.2.3.4567"),
+        (5, "plain text stays untouched"),
+        (6, "ip-hosted a@1.2.3.4 address"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> today"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "servers <IP> and <IP>."
+    assert out[2]["n_ips"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> now"
+    assert out[4]["clean_text"] == rows[3][1]
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[5]["clean_text"] == rows[4][1]
+    # '1.2.3.4' is not a valid email host (TLD must be alphabetic), so the
+    # email pass skips it and the IP pass redacts just the host
+    assert out[6]["clean_text"] == "ip-hosted a@<IP> address"
+    assert (out[6]["n_emails"], out[6]["n_ips"]) == (0, 1)
