@@ -47,6 +47,8 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
   line_dedup_clean    CCNet cross-document line dedup + reassembly
   pii_scrub_clean     typed PII redaction (email/IPv4/phone) + counts
+  corpus_clean_v2     7-stage composed pipeline (line dedup → PII →
+                      repetition → quality/lang → exact → near-dup)
 Rows-only (non-SQL-expressible): crawl_engine_smoke (iterative, stateful,
   checkpointed) — every other queries() entry has a full DuckDB oracle,
   including the crawl loop itself via crawl_bfs_oracle.
@@ -510,6 +512,88 @@ def corpus_clean(spark, d):
     ).persist(StorageLevel.MEMORY_AND_DISK)
     gated = scored.filter(
         (F.col("quality") >= 0.75) & (F.col("lang_pred") != "und")
+    )
+    exact_keep = (
+        gated.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    survivors = gated.join(exact_keep, "doc_id")
+    clusters = dd.near_dup_clusters(
+        survivors.select("doc_id", "text"),
+        threshold=0.5, num_hashes=16, bands=8, k_shingle=3,
+    )
+    dupes = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    kept = survivors.join(dupes, "doc_id", "left_anti")
+    return kept.select("doc_id", "quality", "lang_pred")
+
+
+def corpus_clean_v2(spark, d):
+    """The FULL modern web-text curation pipeline, composed end-to-end
+    from seven individually oracle-green stages: (1) deterministic PII
+    planting + 3-token line simulation (fixture adaptation — the corpus
+    is single-line and PII-free), (2) CCNet cross-document line dedup
+    (boilerplate removal), (3) PII scrubbing, (4) Gopher repetition gate
+    (tight profile: top 2-gram ≤0.10, dup lines ≤0.30), (5) heuristic
+    quality + language gates, (6) normalized exact dedup, (7) MinHash-LSH
+    near-dup suppression. This is corpus_clean extended with the round-5
+    stages — the shape a Dolma/CCNet-class 100-TB run actually executes.
+
+    Scale shape: the line-dedup + scrub prefix is persisted once (the §2j
+    materialization contract — every later stage reads the 2-column
+    cleaned corpus, not the raw scan, and the scored projection is
+    persisted again after the regex stack for the same reason); the
+    repetition gate joins per-doc stats on the skew-free id; exact dedup
+    is one norm-key shuffle; near-dup is the banded LSH join + size-gated
+    connected components. Nothing shuffles document text except the
+    line-dedup norm join (AQE skew-split) and the scored persist."""
+    from pyspark import StorageLevel
+
+    from dmp_crawler_spark.operators import dedup as dd
+
+    docs = dd._widen_scan(_t(spark, d, "documents").select("doc_id", "text"))
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), s(did),
+                F.lit("@example"), s(did % 7), F.lit(".com"),
+            )).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.concat(
+                F.lit(" from 10."), s(did % 256),
+                F.lit("."), s((did * 3) % 256), F.lit(".7"),
+            )).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    lined = planted.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n").alias("text"),
+    )
+    ld = dd.line_dedup(lined, max_doc_freq=2).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scrubbed = TS.pii_scrub(ld).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c = F.col("text")
+    scored = scrubbed.select(
+        "doc_id",
+        "text",
+        _quality_expr(c).alias("quality"),
+        _lang_pred_expr(c).alias("lang_pred"),
+        _norm_text_expr(c).alias("norm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rep = TS.repetition_stats(scrubbed)
+    gated = (
+        scored.join(rep.select("doc_id", "dup_line_frac", "top_bigram_frac"),
+                    "doc_id")
+        .filter(
+            (F.col("quality") >= 0.75)
+            & (F.col("lang_pred") != "und")
+            & (F.col("top_bigram_frac") <= 0.10)
+            & (F.col("dup_line_frac") <= 0.30)
+        )
     )
     exact_keep = (
         gated.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
@@ -1690,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": repetition_filter,
         "line_dedup_clean": line_dedup_clean,
         "pii_scrub_clean": pii_scrub_clean,
+        "corpus_clean_v2": corpus_clean_v2,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -2768,6 +2853,147 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             ), gated AS (
                 SELECT * FROM g WHERE quality >= 0.75 AND lang_pred <> 'und'
+            ), exact_keep AS (
+                SELECT min(doc_id) AS doc_id FROM gated
+                GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[\\p{P}]', '', 'g'),
+                                             '\\s+', ' ', 'g'))
+            ), survivors AS (
+                SELECT g.* FROM gated g JOIN exact_keep e USING (doc_id)
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(toks) >= 3
+                              THEN [array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks) - 2)]
+                              ELSE [array_to_string(toks, ' ')] END
+                       ) AS sh
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                      FROM survivors)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ), clusters AS (
+                SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+            )
+            SELECT s.doc_id, s.quality, s.lang_pred
+            FROM survivors s LEFT JOIN clusters c USING (doc_id)
+            WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
+        """,
+        # the seven-stage corpus_clean_v2 replay: planting + line sim →
+        # CCNet line dedup → PII scrub → repetition gate → quality/lang
+        # gates → exact dedup → near-dup reachability, one statement
+        "corpus_clean_v2": """
+            WITH RECURSIVE planted AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example' ||
+                            (doc_id % 7) || '.com' ELSE '' END ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN ' from 10.' || (doc_id % 256) || '.' ||
+                            ((doc_id * 3) % 256) || '.7' ELSE '' END AS text
+                FROM documents
+            ), lined AS (
+                SELECT doc_id, regexp_replace(text, '((?:\\S+ ){2}\\S+) ',
+                                              '\\1' || chr(10), 'g') AS text
+                FROM planted
+            ), ln AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+                FROM lined
+            ), lines AS (
+                SELECT doc_id, pos, line, lower(trim(line)) AS norm
+                FROM ln WHERE lower(trim(line)) <> ''
+            ), freqs AS (
+                SELECT norm, count(DISTINCT doc_id) AS nd FROM lines GROUP BY norm
+            ), keptl AS (
+                SELECT l.doc_id,
+                       string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+                FROM lines l JOIN freqs f USING (norm)
+                WHERE f.nd <= 2 GROUP BY l.doc_id
+            ), docs0 AS (
+                SELECT d.doc_id, coalesce(k.text, '') AS text
+                FROM documents d LEFT JOIN keptl k ON d.doc_id = k.doc_id
+            ), scrub AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g') AS text
+                FROM docs0
+            ), rls AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM scrub
+            ), rst AS (
+                SELECT doc_id, toks,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_dist,
+                       len(toks) AS n_tok
+                FROM rls
+            ), rbig AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, n_tok),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM rst WHERE n_tok >= 2
+            ), rcnt AS (
+                SELECT doc_id, bg, count(*) AS c FROM rbig GROUP BY doc_id, bg
+            ), rtop AS (
+                SELECT doc_id, max(c) AS top_cnt FROM rcnt GROUP BY doc_id
+            ), rep AS (
+                SELECT rst.doc_id,
+                       round(CASE WHEN n_lines > 0
+                             THEN 1.0 - CAST(n_dist AS DOUBLE) / n_lines
+                             ELSE 0.0 END, 4) AS dup_line_frac,
+                       round(CASE WHEN n_tok >= 2
+                             THEN CAST(coalesce(top_cnt, 0) AS DOUBLE) / (n_tok - 1)
+                             ELSE 0.0 END, 4) AS top_bigram_frac
+                FROM rst LEFT JOIN rtop USING (doc_id)
+            ), m AS (
+                SELECT doc_id, text,
+                       length(text) AS ln,
+                       length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS punct,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as|by|at|be)\\b')) AS sw,
+                       length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+                       length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin
+                FROM scrub
+            ), g AS (
+                SELECT doc_id, text,
+                       round((
+                         (CASE WHEN ln >= 50 AND ln <= 100000 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN ln > 0 AND punct / ln < 0.3 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN toks > 0 AND nonspace / toks >= 2.0 AND nonspace / toks <= 12.0
+                               THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN (toks > 0 AND sw / toks > 0.05) OR (ln > 0 AND cjk / ln > 0.25)
+                               THEN 1.0 ELSE 0.0 END)
+                       ) / 4.0, 4) AS quality,
+                       CASE WHEN ln > 0 AND cjk / ln > 0.25 THEN 'zh'
+                            WHEN ln > 0 AND latin / ln > 0.4 THEN 'en'
+                            ELSE 'und' END AS lang_pred
+                FROM m
+            ), gated AS (
+                SELECT g.* FROM g JOIN rep r USING (doc_id)
+                WHERE quality >= 0.75 AND lang_pred <> 'und'
+                  AND r.top_bigram_frac <= 0.10 AND r.dup_line_frac <= 0.30
             ), exact_keep AS (
                 SELECT min(doc_id) AS doc_id FROM gated
                 GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[\\p{P}]', '', 'g'),

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "repetition_filter",
     "line_dedup_clean",
     "pii_scrub_clean",
+    "corpus_clean_v2",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:

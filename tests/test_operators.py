@@ -479,3 +479,42 @@ def test_pii_scrub_patterns_and_order(spark):
     # email pass skips it and the IP pass redacts just the host
     assert out[6]["clean_text"] == "ip-hosted a@<IP> address"
     assert (out[6]["n_emails"], out[6]["n_ips"]) == (0, 1)
+
+
+def test_corpus_clean_v2_each_stage_drops(spark, tmp_path):
+    """corpus_clean_v2 end-to-end: the boilerplate prefix shared by 3 docs
+    is stripped by line dedup (the survivors keep their content), then
+    each pipeline stage drops exactly its planted victim — exact dup (11
+    of 10), near dup (23 of 22), quality (13), language (19), repetition
+    gate (16). Doc ids of the dedup pairs avoid 3|id and 4|id so the
+    deterministic PII planting can't perturb their text equality; docs
+    must stay above ~10 bigrams post-strip or the tight top-2-gram gate
+    (≤0.10) fires on 1/n_bigrams alone."""
+    import __spark_entry__ as entrymod
+
+    boiler = "subscribe our newsletter "
+    a = ("the quick brown fox jumps over the lazy dog again and again "
+         "today it was a fine day")
+    b = ("every reader of this report should note that the results were "
+         "stable and strong across all regions here")
+    rows = [
+        (10, boiler + a),
+        # punct/case variant: some line norms differ but the doc-level
+        # normalized text is equal -> exact dup of 10
+        (11, boiler + "The quick brown fox jumps over the lazy dog, again "
+             "and again today it was a fine day!"),
+        (22, b),                                # near-dup pair base
+        (23, b.replace("stable", "steady")),    # near dup of 22
+        (13, "hi"),                             # quality gate
+        # digits only, all bigrams distinct: passes quality (0.75) and the
+        # repetition gate, fails language ('und') — id 19 gets no PII plant
+        (19, "10 21 32 43 54 65 76 87 98 09 12 23 34 45 56 67 78 89 90 01"),
+        # modal-bigram spam: passes quality, fails the repetition gate
+        (16, ("buy now " * 20).strip()),
+        (14, boiler + "completely different long document about apache "
+             "spark distributed computing and the shuffle service"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = entrymod.corpus_clean_v2(spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in out) == [10, 14, 22]
