@@ -447,6 +447,64 @@ def quality_score(spark, d):
     return docs.select("doc_id", _quality_expr(F.col("text")).alias("quality"))
 
 
+# ---------------------------------------------------------------------------
+# training-data assembly (operators/training.py): the post-curation last
+# mile — benchmark decontamination, deterministic domain mixing, and
+# concat-and-chunk sequence packing
+
+
+def decontaminate_bench(spark, d):
+    """GPT-3-Appendix-C-style eval decontamination over `documents`: the
+    held-out benchmark is the deterministic slice doc_id % 97 == 0 (planted
+    verbatim contamination by construction), n=8 word-gram overlap with a
+    50% containment threshold. Only docs sharing ≥1 gram with the benchmark
+    survive to the output — the clean bulk never leaves the map side, and
+    the benchmark gram set rides a broadcast."""
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = _t(spark, d, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return TR.decontaminate(docs, bench, n=8, frac_threshold=0.5)
+
+
+def domain_mix_audit(spark, d):
+    """Pile/Dolma-style source-mixing audit: per-source sampling rate in
+    basis points (derived deterministically from md5(source) so all four
+    regimes appear: drop / downsample / 1.75 epochs / 2.625 epochs),
+    document count, and the rows the mix actually emits. The emitted-row
+    count replays the full deterministic up/down-sampling path
+    (md5-bucket per doc_id, explode(sequence) per epoch)."""
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = _t(spark, d, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rate_bp",
+            (
+                F.conv(F.substring(F.md5(F.col("source").cast("binary")), 1, 4), 16, 10)
+                .cast("long")
+                % 4
+            )
+            * 8750,
+        )
+    )
+    return TR.domain_mix_summary(docs, weights)
+
+
+def pack_sequences_q(spark, d):
+    """Concat-and-chunk packing layout over `documents` (shard = source,
+    capacity = 2048 whitespace tokens): each doc's start offset and the
+    first/last fixed-capacity sequence it lands in. One shuffle on the
+    shard key; the cumsum is a within-shard running window — no global
+    sort anywhere in the plan."""
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = _t(spark, d, "documents")
+    return TR.pack_sequences(docs, capacity=2048)
+
+
 def _norm_text_expr(c):
     """Punct-stripped, whitespace-collapsed, lowercased text for exact
     dedup (shared by dedup_exact_norm and corpus_clean)."""
@@ -1775,6 +1833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_clean": line_dedup_clean,
         "pii_scrub_clean": pii_scrub_clean,
         "corpus_clean_v2": corpus_clean_v2,
+        "decontaminate_bench": decontaminate_bench,
+        "domain_mix_audit": domain_mix_audit,
+        "pack_sequences": pack_sequences_q,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -2328,6 +2389,99 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[一-鿿]|[^\\sA-Za-z0-9一-鿿]')) AS bpe_tokens
             FROM documents
+        """,
+        # full replay of operators/training.decontaminate at n=8: distinct
+        # 8-word shingles per doc (whole text as the single gram when
+        # shorter), benchmark = the doc_id % 97 == 0 slice, containment
+        # count + 50% threshold flag; docs with zero overlap are absent
+        "decontaminate_bench": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(toks) >= 8
+                              THEN [array_to_string(toks[i:i+7], ' ')
+                                    for i in generate_series(1, len(toks) - 7)]
+                              ELSE [array_to_string(toks, ' ')] END
+                       ) AS sh
+                FROM toks
+            ),
+            doc_grams AS (
+                SELECT doc_id, unnest(sh) AS gram, len(sh) AS n_grams
+                FROM grams
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM grams
+                WHERE doc_id % 97 = 0
+            ),
+            matched AS (
+                SELECT d.doc_id,
+                       count(*) AS n_matched,
+                       any_value(d.n_grams) AS n_grams
+                FROM doc_grams d JOIN bench USING (gram)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_matched, n_grams,
+                   CASE WHEN n_matched >= 0.5 * n_grams THEN 1 ELSE 0 END
+                     AS contaminated
+            FROM matched
+        """,
+        # full replay of operators/training.domain_mix_summary: weights
+        # derived from md5(source) (4 regimes × 8750 bp); rows_out = Σ
+        # copies with copies = rate_bp div 10000 + (md5-bucket(doc_id) <
+        # rate_bp mod 10000) — the exact deterministic sampling rule
+        "domain_mix_audit": """
+            WITH w AS (
+                SELECT source,
+                       (('0x' || substr(md5(source), 1, 4))::BIGINT % 4) * 8750
+                         AS rate_bp
+                FROM (SELECT DISTINCT source FROM documents)
+            ),
+            nd AS (
+                SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+            ),
+            ro AS (
+                SELECT d.source,
+                       sum((w.rate_bp // 10000)
+                           + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                                       % 10000 < w.rate_bp % 10000
+                                  THEN 1 ELSE 0 END) AS rows_out
+                FROM documents d JOIN w USING (source)
+                GROUP BY 1
+            )
+            SELECT w.source, w.rate_bp,
+                   coalesce(nd.n_docs, 0) AS n_docs,
+                   coalesce(ro.rows_out, 0) AS rows_out
+            FROM w LEFT JOIN nd USING (source) LEFT JOIN ro USING (source)
+        """,
+        # replay of operators/training.pack_sequences (shard = source,
+        # capacity 2048): within-shard running token offset in doc_id
+        # order, first/last sequence index (empty docs pinned to their
+        # start boundary via greatest(n_tokens, 1))
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, source AS shard,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, shard, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS start_off
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens, start_off,
+                   start_off // 2048 AS first_seq,
+                   (start_off + greatest(n_tokens, 1) - 1) // 2048 AS last_seq
+            FROM o
         """,
         "quality_score": """
             WITH m AS (

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "line_dedup_clean",
     "pii_scrub_clean",
     "corpus_clean_v2",
+    "decontaminate_bench",
+    "domain_mix_audit",
+    "pack_sequences",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:
