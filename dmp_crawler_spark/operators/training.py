@@ -51,9 +51,8 @@ def benchmark_ngrams(
     tokens contributes its whole text as one gram.
     """
     return (
-        bench.select(
-            F.explode(F.array_distinct(TS.shingles(text_col, n))).alias("gram")
-        )
+        bench.select(F.array_distinct(TS.shingles(text_col, n)).alias("_sh"))
+        .select(F.explode("_sh").alias("gram"))
         .distinct()
     )
 

@@ -193,3 +193,46 @@ def test_oracle_queries_use_wholestage_codegen(spark):
 
     df = entrymod.q1_pricing_summary(spark, "/root/testdata/sf0.001")
     assert inspect.wholestage_codegen_ids(df) >= 1
+
+
+def test_decontaminate_generate_consumes_bound_array(spark):
+    """The Generate in decontaminate must explode a materialized column,
+    not an inline shingle expression: CollapseProject re-inlining the
+    O(len) array under the Generate measured 22x slower at sf0.01 (the
+    third hit of the same trap — see BENCH/BASELINE.md s2t)."""
+    import re
+
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = spark.createDataFrame(
+        [(i, "web", f"tok{i} " * 20) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    bench = docs.limit(2)
+    plan = inspect.physical_plan(TR.decontaminate(docs, bench, n=8))
+    gens = re.findall(r"Generate explode\(([^)]*)", plan)
+    assert gens, "expected at least one Generate in the plan"
+    for arg in gens:
+        # a bound attribute looks like `_sh#123` / `sh#12`; an inlined
+        # expression starts with CASE/array_distinct/transform
+        assert re.fullmatch(r"\w+#\d+", arg.strip()), (
+            "Generate explodes an inline expression (CollapseProject "
+            "re-inlined the shingle array): " + arg[:80]
+        )
+    # and the benchmark gram set must ride a broadcast, never a shuffle join
+    assert inspect.uses_broadcast_join(TR.decontaminate(docs, bench, n=8))
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark):
+    """Packing = exactly one hash exchange (shard key) and no global Sort:
+    rangepartitioning anywhere in the plan would mean a global ordering,
+    which cannot exist at 10^10 docs."""
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}", "a b c") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    out = TR.pack_sequences(docs, capacity=16)
+    assert inspect.count_exchanges(out) == 1
+    assert "rangepartitioning" not in inspect.physical_plan(out).lower()
