@@ -79,14 +79,19 @@ def decontaminate(
     # Putting explode(expr) and size(expr) in one select leaves both
     # copies of the O(len) shingle expression inline under the Generate
     # (same CollapseProject trap as the Gopher repetition filters) —
-    # measured 22× slower at sf0.01 (16.4 s vs 0.75 s).
+    # measured 22× slower at sf0.01 (16.4 s vs 0.75 s). explode_outer,
+    # not explode: the plain explode plants a `size(sh) > 0` guard that
+    # Catalyst pushes below the projection, re-evaluating the whole
+    # shingle stack a second time per row (measured 2× at sf0.1); the
+    # guard is vacuous — shingles() never returns an empty array — and
+    # a null gram can't survive the inner join anyway.
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(TS.shingles(text_col, n)).alias("_sh"),
     )
     doc_grams = sh.select(
         "doc_id",
-        F.explode("_sh").alias("gram"),
+        F.explode_outer("_sh").alias("gram"),
         F.size("_sh").alias("n_grams"),
     )
     matched = (
