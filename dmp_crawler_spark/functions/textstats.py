@@ -175,17 +175,19 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     rep_keep applies the published thresholds (dup lines ≤0.30, dup line
     chars ≤0.20, top 2-gram ≤0.18) to the rounded stats.
 
-    Plan shape for 100 TB: two branches over one scan, joined on the
-    (skew-free) document id. The line stats MUST live on their own
-    branch: inlined next to the bigram explode, Catalyst's
-    CollapseProject pushes them below the Generate and the O(doc-length)
-    line arrays get recomputed once per BIGRAM — O(len²) per document
-    (the §2j corpus_clean trap, caught again here by plan audit). On
-    their own branch they are a pure per-row projection (whole-stage
-    codegen, no shuffle before the join). The bigram branch is explode
-    of a minimal (id, bigram) pair → partial-aggregating
-    groupBy(id, bigram) → groupBy(id) max, so only ids and 2-grams ride
-    the shuffles, never text.
+    Plan shape for 100 TB: ONE per-row projection, zero shuffles. The
+    modal-bigram count is a pure function of the document's own bigram
+    array — sort it and take the longest run of equal adjacent elements
+    (array_sort + a running (prev, run, best) F.aggregate). The first
+    version exploded (id, bigram) pairs into a groupBy(id, bigram) →
+    groupBy(id) max: correct, but the explode materializes ~one row per
+    TOKEN of the corpus and the hash aggregation carries nearly all of
+    them into the exchange (few repeated bigrams). The per-row
+    sort-and-scan replaces the corpus-volume shuffle with O(len log len)
+    JVM work per document — measured 11× at sf0.1 (6.5 s → 0.57 s),
+    bit-identical output, and it removes the two-branch join the explode
+    form needed to dodge the §2j CollapseProject trap (no Generate, no
+    trap).
     """
     c = _c(text_col)
     toks = F.filter(
@@ -201,29 +203,42 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+    def _mode_count(arr):
+        """Max multiplicity of any element: longest equal-adjacent run
+        of the sorted array. 0 for an empty array."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def merge(s, x):
+            run = F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(s["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, merge, lambda s: s["best"])
+
     stats = docs.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col),
         dup_line_frac(c).alias("dup_line_frac"),
         dup_line_char_frac(c).alias("dup_line_char_frac"),
         (n_tok - 1).alias("n_bigrams"),
+        _mode_count(bigrams).alias("top_cnt"),
     )
-    per_bg = (
-        docs.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
-        .groupBy("id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    top = per_bg.groupBy("id").agg(F.max("cnt").alias("top_cnt"))
-    joined = stats.join(top, "id", "left")
     tbf = F.round(
         F.when(
             F.col("n_bigrams") > 0,
-            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
-            / F.col("n_bigrams"),
+            F.col("top_cnt").cast("double") / F.col("n_bigrams"),
         ).otherwise(F.lit(0.0)),
         4,
     )
-    return joined.select(
-        F.col("id").alias(id_col),
+    return stats.select(
+        F.col(id_col),
         "dup_line_frac",
         "dup_line_char_frac",
         tbf.alias("top_bigram_frac"),
