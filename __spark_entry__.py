@@ -462,7 +462,11 @@ def decontaminate_bench(spark, d):
     the benchmark gram set rides a broadcast."""
     from dmp_crawler_spark.operators import training as TR
 
-    docs = _t(spark, d, "documents")
+    from dmp_crawler_spark.operators import dedup as dd
+
+    docs = dd._widen_scan(
+        _t(spark, d, "documents").select("doc_id", "text")
+    )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return TR.decontaminate(docs, bench, n=8, frac_threshold=0.5)
 
@@ -1342,7 +1346,11 @@ def repetition_filter(spark, d):
     becomes a newline) — the tiny word-salad vocabulary then yields
     genuinely repeated lines AND bigrams, so all three stats are
     non-trivial and every arm of the operator is hash-checked."""
-    docs = _t(spark, d, "documents")
+    from dmp_crawler_spark.operators import dedup as dd
+
+    # single-split fixture scan: widen so the per-row list stats run
+    # cluster-wide (no-op at real scale; see operators.dedup._widen_scan)
+    docs = dd._widen_scan(_t(spark, d, "documents").select("doc_id", "text"))
     sim = docs.select(
         "doc_id",
         F.regexp_replace("text", r"(\S+ \S+) ", "$1\n").alias("text"),
@@ -1361,7 +1369,7 @@ def line_dedup_clean(spark, d):
     the ordered reassembly is hash-checked against DuckDB."""
     from dmp_crawler_spark.operators import dedup as dd
 
-    docs = _t(spark, d, "documents")
+    docs = dd._widen_scan(_t(spark, d, "documents").select("doc_id", "text"))
     sim = docs.select(
         "doc_id",
         F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n").alias("text"),
@@ -1378,7 +1386,9 @@ def pii_scrub_clean(spark, d):
     and counts are hash-checked against an identical DuckDB/RE2 replay —
     the patterns avoid constructs whose meaning differs between Java
     regex and RE2, and the test of that claim is this oracle."""
-    docs = _t(spark, d, "documents")
+    from dmp_crawler_spark.operators import dedup as dd
+
+    docs = dd._widen_scan(_t(spark, d, "documents").select("doc_id", "text"))
     did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     sim = docs.select(
