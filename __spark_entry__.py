@@ -509,6 +509,22 @@ def pack_sequences_q(spark, d):
     return TR.pack_sequences(docs, capacity=2048)
 
 
+def unigram_ppl(spark, d):
+    """CCNet-style LM scoring (Wenzek et al. 2019 §4.3): per-document
+    mean negative log-probability under a corpus-trained unigram LM —
+    the third CCNet pillar (dedup / lang-id / LM perplexity bucketing)
+    next to the line-dedup and lang-id stages already in the family.
+    CCNet uses a pre-trained KenLM 5-gram; no external model exists in
+    this environment, so the LM is self-trained on the same corpus in
+    scan 1 (vocab groupBy, Zipf-compressed exchange) and broadcast into
+    the map-side scoring pass in scan 2 — token instances never ride a
+    shuffle (see functions.textstats.unigram_lm_scores)."""
+    from dmp_crawler_spark.operators import dedup as dd
+
+    docs = dd._widen_scan(_t(spark, d, "documents").select("doc_id", "text"))
+    return TS.unigram_lm_scores(docs)
+
+
 def _norm_text_expr(c):
     """Punct-stripped, whitespace-collapsed, lowercased text for exact
     dedup (shared by dedup_exact_norm and corpus_clean)."""
@@ -1846,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bench": decontaminate_bench,
         "domain_mix_audit": domain_mix_audit,
         "pack_sequences": pack_sequences_q,
+        "unigram_ppl": unigram_ppl,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -2492,6 +2509,29 @@ def oracle_sql() -> dict[str, str]:
                    start_off // 2048 AS first_seq,
                    (start_off + greatest(n_tokens, 1) - 1) // 2048 AS last_seq
             FROM o
+        """,
+        # replay of functions.textstats.unigram_lm_scores: corpus-MLE
+        # unigram model (p = count/total over whitespace tokens of the
+        # lowercased corpus), per-doc mean negative ln p rounded to 4
+        # decimals; token-less docs absent
+        "unigram_ppl": """
+            WITH tk AS (
+                SELECT doc_id, tok
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(lower(text)),
+                                                       '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+            ),
+            vocab AS (
+                SELECT tok, count(*) AS cnt FROM tk GROUP BY 1
+            ),
+            n AS (SELECT sum(cnt)::DOUBLE AS n_total FROM vocab)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   round(-sum(ln(v.cnt / n.n_total)) / count(*), 4) AS logppl
+            FROM tk t JOIN vocab v USING (tok) CROSS JOIN n
+            GROUP BY 1
         """,
         "quality_score": """
             WITH m AS (

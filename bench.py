@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "decontaminate_bench",
     "domain_mix_audit",
     "pack_sequences",
+    "unigram_ppl",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:

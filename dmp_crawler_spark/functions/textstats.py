@@ -285,3 +285,58 @@ def pii_scrub(docs, id_col: str = "doc_id", text_col: str = "text"):
         n_ips.cast("long").alias("n_ips"),
         n_phones.cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (the CCNet third pillar, Wenzek et al.
+# 2019: dedup / lang-id / LM perplexity bucketing). CCNet scores each
+# document with a KenLM 5-gram model; no external LM exists in this
+# environment, so the model is a self-trained in-corpus unigram LM —
+# the same scoring contract (mean negative log-probability per token,
+# lower = more natural relative to the corpus) with the model swap
+# point documented.
+
+
+def unigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram negative-log-likelihood rate →
+    (id, n_tokens, logppl) where logppl = -mean ln p(tok) under the
+    corpus-wide MLE unigram model p(tok) = count(tok) / total_tokens.
+    Documents with no tokens are absent (no distribution to score).
+
+    Plan shape for 100 TB: two scans of the corpus. Scan 1 builds the
+    vocabulary — explode tokens → groupBy(token); the map-side partial
+    aggregation compresses token INSTANCES to the per-partition
+    VOCABULARY, so the exchange carries ~|vocab| rows per partition,
+    not corpus volume (unlike the per-(doc,bigram) shape §2u replaced —
+    natural-language token frequencies are Zipfian, so the compression
+    is large by construction). Scan 2 re-explodes and joins the
+    BROADCAST vocabulary map-side, then partially aggregates
+    (id, Σ ln p, count) before the only other exchange — token
+    instances never ride a shuffle. The broadcast is the resource
+    contract: a unigram vocab is ~10⁶-10⁸ rows; for a model too big to
+    broadcast, swap the join for a shuffle join on token (AQE handles
+    the Zipf-head skew) — the rest of the plan is unchanged.
+    """
+    c = _c(text_col)
+    toks = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != F.lit("")
+    )
+    inst = docs.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    vocab = inst.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        inst.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("cnt") / F.col("n_total"))).alias("_slp"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(-F.col("_slp") / F.col("n_tokens"), 4).alias("logppl"),
+    )

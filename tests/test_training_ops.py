@@ -93,3 +93,24 @@ def test_pack_sequences_empty_doc_zero_width(spark):
     assert out[2]["first_seq"] == out[2]["last_seq"]
     # the empty doc consumes no offset: doc3 starts where doc2 did + 0
     assert out[3]["start_off"] == out[2]["start_off"]
+
+
+def test_unigram_lm_scores_rare_vs_common(spark):
+    from dmp_crawler_spark.functions import textstats as TS
+
+    # "common common common" dominates the corpus; doc 3 is all-rare
+    docs = _docs(
+        spark,
+        [(1, "a", "common common common"),
+         (2, "a", "common common rareish"),
+         (3, "a", "unique1 unique2 unique3"),
+         (4, "a", "   ")],  # token-less: absent from output
+    )
+    out = {r["doc_id"]: r for r in TS.unigram_lm_scores(docs).collect()}
+    assert 4 not in out
+    assert out[1]["n_tokens"] == 3
+    # p(common)=6/9, p(rareish)=1/9, p(unique*)=1/9 each:
+    # logppl(1) < logppl(2) < logppl(3) and doc3 = ln 9 exactly
+    assert out[1]["logppl"] < out[2]["logppl"] < out[3]["logppl"]
+    import math
+    assert abs(out[3]["logppl"] - round(math.log(9), 4)) < 1e-9
