@@ -44,6 +44,8 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   event_hourly / event_gaps  event-time analytics (streaming batch form)
   crawl_bfs_oracle    REAL CrawlEngine 3-iteration BFS vs unrolled SQL replay
   bmp_decode_stats    REAL (non-stub) BMP decode vs pixel-formula replay
+  wav_decode_stats    REAL (non-stub) PCM-WAV decode vs sample-formula replay
+  shuffle_shards      deterministic seeded corpus shuffle + shard ranks
   repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
   line_dedup_clean    CCNet cross-document line dedup + reassembly
   pii_scrub_clean     typed PII redaction (email/IPv4/phone) + counts
@@ -1351,6 +1353,58 @@ def bmp_decode_stats(spark, d):
     )
 
 
+def wav_decode_stats(spark, d):
+    """REAL multimodal audio decode (extends round-4 verdict #5 to a
+    second format): one PCM WAV per p_partkey ≤ 250 (odd ids mono, even
+    stereo; every third id carries an odd-length junk chunk so the
+    RIFF chunk walk is load-bearing), encoded executor-side by
+    operators.multimodal.encode_wav, then decoded by the strict=True
+    path — a genuine pure-Python RIFF/PCM parser, NOT the hash stub.
+    Output = header fields + exact per-channel sums + min/max + sample
+    probes, all integers, re-derived by DuckDB from the sample formula
+    ch0[t] = ((3t+i) mod 2000) − 1000, ch1[t] = ((7t+2i) mod 2000) − 1000
+    without ever seeing a WAV byte — so the decode itself is what the
+    hash checks."""
+    from dmp_crawler_spark.operators import multimodal as MM
+
+    ids = (
+        _t(spark, d, "part")
+        .select(F.col("p_partkey").cast("long").alias("media_id"))
+        .filter(F.col("media_id") <= 250)
+    )
+    media = MM.wav_media_from_ids(ids)
+    feats = MM.extract_features(media, strict=True)
+    f = F.col("feature")
+    names = [
+        "sr", "n_channels", "n_frames", "bits", "sum0", "sum1",
+        "min0", "max0", "s0_first", "s0_t1", "s0_last",
+        "s1_first", "s1_last",
+    ]
+    return feats.select(
+        "media_id",
+        *[f[k].cast("long").alias(nm) for k, nm in enumerate(names)],
+    )
+
+
+def shuffle_shards_q(spark, d):
+    """Deterministic seeded corpus shuffle (training.shuffle_shards):
+    the training-order shuffle every LLM-corpus build runs before
+    writing shards. shard = 60-bit md5('42:'||doc_id) key mod 16, pos =
+    dense rank of the key within the shard — a pure function of
+    (seed, id), so retries/resumes/cluster-size changes reproduce the
+    identical layout. One hash exchange + per-shard window rank, no
+    global sort; DuckDB replays the same md5 key and window."""
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = _t(spark, d, "documents").select("doc_id")
+    out = TR.shuffle_shards(docs, n_shards=16, seed=42)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
 def repetition_filter(spark, d):
     """Gopher repetition rules (Rae et al. 2021 Table A1) over documents:
     duplicate-line fraction, duplicate-line character fraction, and the
@@ -1855,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     and the real (non-stub) BMP decode path ---
         "crawl_bfs_oracle": crawl_bfs_oracle,
         "bmp_decode_stats": bmp_decode_stats,
+        "wav_decode_stats": wav_decode_stats,
+        "shuffle_shards": shuffle_shards_q,
         "repetition_filter": repetition_filter,
         "line_dedup_clean": line_dedup_clean,
         "pii_scrub_clean": pii_scrub_clean,
@@ -2094,6 +2150,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST((3*(w-1) + 5*(h-1) + i) % 256 AS BIGINT) AS pwh_b
             FROM grid
             GROUP BY i, w, h
+        """,
+        # re-derives the WAV decode output from the sample formula alone
+        # (no WAV bytes on the oracle side — see wav_decode_stats)
+        "wav_decode_stats": """
+            WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS i
+                         FROM part WHERE p_partkey <= 250),
+            par AS (SELECT i,
+                           400 + (i * 37) % 257 AS n,
+                           8000 + (i % 4) * 4000 AS sr,
+                           CASE WHEN i % 2 = 1 THEN 1 ELSE 2 END AS nch
+                    FROM ids),
+            samp AS (
+              SELECT p.i, p.n, p.sr, p.nch, u.t,
+                     ((3 * u.t + p.i) % 2000) - 1000 AS s0,
+                     ((7 * u.t + 2 * p.i) % 2000) - 1000 AS s1
+              FROM par p
+              JOIN (SELECT unnest(generate_series(0, 656)) AS t) u
+                ON u.t < p.n
+            )
+            SELECT i AS media_id,
+                   CAST(sr AS BIGINT) AS sr,
+                   CAST(nch AS BIGINT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(16 AS BIGINT) AS bits,
+                   CAST(sum(s0) AS BIGINT) AS sum0,
+                   CAST(CASE WHEN nch = 2 THEN sum(s1) ELSE 0 END
+                        AS BIGINT) AS sum1,
+                   CAST(min(s0) AS BIGINT) AS min0,
+                   CAST(max(s0) AS BIGINT) AS max0,
+                   CAST(max(CASE WHEN t = 0 THEN s0 END) AS BIGINT)
+                     AS s0_first,
+                   CAST(max(CASE WHEN t = 1 THEN s0 END) AS BIGINT)
+                     AS s0_t1,
+                   CAST(max(CASE WHEN t = n - 1 THEN s0 END) AS BIGINT)
+                     AS s0_last,
+                   CAST(CASE WHEN nch = 2
+                             THEN max(CASE WHEN t = 0 THEN s1 END)
+                             ELSE 0 END AS BIGINT) AS s1_first,
+                   CAST(CASE WHEN nch = 2
+                             THEN max(CASE WHEN t = n - 1 THEN s1 END)
+                             ELSE 0 END AS BIGINT) AS s1_last
+            FROM samp
+            GROUP BY i, sr, nch, n
+        """,
+        # deterministic seeded shuffle: same 60-bit md5 order key and
+        # per-shard window rank as training.shuffle_shards
+        "shuffle_shards": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k % 16 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY k % 16
+                                           ORDER BY k, doc_id)
+                        AS BIGINT) AS pos
+            FROM k
         """,
         # Gopher repetition rules replayed with DuckDB list functions;
         # same two-token-line simulation as the Spark side

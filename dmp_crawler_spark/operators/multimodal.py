@@ -4,10 +4,12 @@ Media payloads are opaque `binary` columns + a typed metadata struct —
 the same pattern as the `html binary` column in the pages table. The
 Spark-side plumbing (schemas, Arrow batch shape, mapInPandas signatures,
 partition hygiene: media bytes are column-pruned out of every non-decode
-stage) is real and tested; the actual codec work is stubbed behind
-DETERMINISTIC fakes because the image/audio libraries are not in this
-container — each stub is clearly marked and raises NotImplementedError
-when `strict=True`.
+stage) is real and tested. Decode is REAL for the formats this
+environment can carry without codec libs — uncompressed BMP images
+(decode_bmp) and PCM WAV audio (decode_wav), both pure stdlib-struct +
+numpy parsers — and stubbed behind DETERMINISTIC fakes for everything
+needing Pillow/ffmpeg (absent in the container); each stub is clearly
+marked and raises NotImplementedError when `strict=True`.
 """
 
 from __future__ import annotations
@@ -140,15 +142,119 @@ def _bmp_features(payload: bytes) -> np.ndarray:
     return out
 
 
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, junk_chunk: bool = False
+) -> bytes:
+    """Minimal RIFF/WAVE PCM writer for fixtures: samples is
+    (n_frames, n_channels) int16, interleaved little-endian on disk.
+    junk_chunk=True inserts an ODD-length unknown chunk between fmt and
+    data so the reader's chunk walk (with the word-align pad byte) is
+    exercised, not just the happy path. Pure struct packing."""
+    n, nch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * 2 * nch, 2 * nch, 16
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk_chunk:
+        j = b"engine-test-junk!"  # 17 bytes: odd, forces a pad byte
+        body += b"cue " + struct.pack("<I", len(j)) + j + b"\x00"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL (non-stub) audio decode for the second codec this environment
+    can carry without external libs: RIFF/WAVE uncompressed PCM
+    (audio_format=1), 8- or 16-bit, any channel count. Walks the chunk
+    list (word-aligned sizes, unknown chunks skipped), requires fmt AND
+    data, and raises ValueError on anything it does not fully understand
+    — no silent wrong samples. Returns ((n_frames, n_channels) int32
+    samples, sample_rate, bits); 8-bit unsigned is centered to signed
+    (v - 128) so both widths mean the same thing downstream."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body_off = pos + 8
+        if body_off + size > len(payload):
+            raise ValueError(f"truncated chunk {cid!r}: need {size} bytes")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too small: {size}")
+            afmt, nch, sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body_off
+            )
+            if afmt != 1 or bits not in (8, 16) or nch < 1:
+                raise ValueError(
+                    f"unsupported WAV variant: fmt={afmt} bits={bits} nch={nch}"
+                )
+            fmt = (nch, sr, bits)
+        elif cid == b"data":
+            data = payload[body_off:body_off + size]
+        pos = body_off + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    nch, sr, bits = fmt
+    frame_bytes = (bits // 8) * nch
+    if len(data) % frame_bytes:
+        raise ValueError(
+            f"data chunk not frame-aligned: {len(data)} % {frame_bytes}"
+        )
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    return arr.reshape(-1, nch), sr, bits
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    """REAL feature vector from a decoded WAV: header fields, EXACT
+    per-channel sums (|sum| < 2^24, exact in float32 — no rounding parity
+    risk for the SQL oracle), min/max of channel 0, and first/second/last
+    sample probes per channel — the probes make frame interleaving
+    load-bearing, so a channel swap or frame-order bug fails the oracle,
+    not just a unit test. Mono leaves the channel-1 slots at 0."""
+    smp, sr, bits = decode_wav(payload)
+    n, nch = smp.shape
+    s0 = smp[:, 0].astype(np.int64)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0:4] = [sr, nch, n, bits]
+    out[4] = s0.sum()
+    out[6] = s0.min()
+    out[7] = s0.max()
+    out[8] = s0[0]
+    out[9] = s0[1] if n > 1 else 0
+    out[10] = s0[-1]
+    if nch > 1:
+        s1 = smp[:, 1].astype(np.int64)
+        out[5] = s1.sum()
+        out[11] = s1[0]
+        out[12] = s1[-1]
+    return out
+
+
 def _strict_decode_features(payload: bytes) -> np.ndarray:
     """strict=True path: REAL decode for formats the environment can
-    handle without codec libs (currently BMP); everything else keeps the
-    documented NotImplementedError stub (Pillow/ffmpeg absent here)."""
+    handle without codec libs (BMP images, PCM WAV audio); everything
+    else keeps the documented NotImplementedError stub (Pillow/ffmpeg
+    absent here)."""
     if payload is not None and payload[:2] == b"BM":
         return _bmp_features(payload)
+    if (
+        payload is not None
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        return _wav_features(payload)
     raise NotImplementedError(
-        "strict decode implemented for BMP only in this environment — "
-        "JPEG/PNG/audio/video need Pillow/ffmpeg (not in the container)"
+        "strict decode implemented for BMP and PCM WAV only in this "
+        "environment — JPEG/PNG/MP3/video need Pillow/ffmpeg (not in the "
+        "container)"
     )
 
 
@@ -268,6 +374,49 @@ def _bmp_pixels(i: int) -> np.ndarray:
     g = (2 * y + i) % 256 + np.zeros((h, w), dtype=np.int64)
     b = (3 * x + 5 * y + i) % 256
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _wav_samples(i: int) -> tuple[np.ndarray, int]:
+    """Deterministic test clip i: n = 400 + (37i mod 257) frames at
+    sr = 8000 + (i mod 4)*4000 Hz; odd ids mono, even ids stereo;
+    ch0[t] = ((3t + i) mod 2000) − 1000 and ch1[t] = ((7t + 2i) mod 2000)
+    − 1000. Each channel is a distinct affine-mod form in (t, i), so any
+    interleave / channel-swap / truncation bug in the codec shifts at
+    least one probe or sum. Returns ((n, nch) int16, sample_rate)."""
+    n = 400 + (i * 37) % 257
+    nch = 1 if i % 2 == 1 else 2
+    t = np.arange(n, dtype=np.int64)
+    s0 = (3 * t + i) % 2000 - 1000
+    if nch == 1:
+        smp = s0[:, None]
+    else:
+        s1 = (7 * t + 2 * i) % 2000 - 1000
+        smp = np.stack([s0, s1], axis=1)
+    return smp.astype(np.int16), 8000 + (i % 4) * 4000
+
+
+def wav_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL-codec audio table: one PCM WAV per id, samples
+    from _wav_samples; every third id carries an odd-length unknown chunk
+    before data, so the chunk walk (and its pad byte) stays exercised
+    end-to-end, not just in unit tests."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].values:
+                i = int(i)
+                smp, sr = _wav_samples(i)
+                rows.append({
+                    "media_id": i, "kind": "audio", "mime": "audio/wav",
+                    "payload": encode_wav(smp, sr, junk_chunk=(i % 3 == 0)),
+                    "meta": {"width": None, "height": None,
+                             "duration_ms": int(smp.shape[0] * 1000 // sr),
+                             "sample_rate": sr},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return ids.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def bmp_media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:

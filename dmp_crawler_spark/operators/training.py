@@ -19,6 +19,14 @@ Three stages every LLM-corpus build runs between "clean documents" and
    cluster sizes — the property a resumable 10^10-row pipeline needs.
    Weights join is broadcast (one row per source); upsampled epochs
    materialize via explode(sequence(...)), map-side.
+ - shuffle_shards: deterministic seeded global shuffle + shard
+   assignment. Training order must be random-looking but EXACTLY
+   reproducible (retries, resumes, different cluster sizes must emit the
+   identical byte stream), so the permutation is a pure function of
+   (seed, doc_id): a 60-bit md5 order key buckets docs into shards and
+   ranks them within each shard. One hash exchange on the shard key,
+   per-shard window rank — no global sort anywhere, which is what lets
+   10^10 docs shuffle without range-partitioning the world.
  - pack_sequences: concat-and-chunk packing of documents into
    fixed-capacity token windows (the GPT-style pretraining layout).
    Packing is per-SHARD (partitionBy shard, orderBy doc_id): one shuffle
@@ -181,6 +189,45 @@ def domain_mix_summary(
             F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic seeded shuffle + sharding
+
+
+def shuffle_key(id_col: str | F.Column, seed: int) -> F.Column:
+    """60-bit deterministic order key: first 15 hex chars of
+    md5('<seed>:<id>') parsed base-16. Pure function of (seed, id) —
+    the oracle replays it in DuckDB as
+    ('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key_str = F.concat(F.lit(f"{seed}:"), c.cast("string"))
+    return F.conv(
+        F.substring(F.md5(key_str.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle: adds (shard, pos) where
+    shard = key % n_shards and pos is the dense 1-based rank of the key
+    within the shard (ties broken by id, so the output is a total order
+    even under md5-key collisions). Same (seed, id) → same (shard, pos)
+    regardless of input partitioning or cluster size.
+
+    Plan shape: ONE hash exchange (on shard) + a per-shard window rank.
+    No global sort and no range partitioning — each shard orders its own
+    ~1/n_shards slice independently, so the layout a shard writer needs
+    ('read shard k, write records in pos order') falls out of the plan
+    without ever serializing a 10^10-row global ordering."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = docs.withColumn("_k", shuffle_key(id_col, seed)).withColumn(
+        "shard", (F.col("_k") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return keyed.withColumn("pos", F.row_number().over(w)).drop("_k")
 
 
 # ---------------------------------------------------------------------------
