@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "domain_mix_audit",
     "pack_sequences",
     "unigram_ppl",
+    "shuffle_shards",
+    "wav_decode_stats",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:
