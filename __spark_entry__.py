@@ -46,6 +46,7 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   bmp_decode_stats    REAL (non-stub) BMP decode vs pixel-formula replay
   wav_decode_stats    REAL (non-stub) PCM-WAV decode vs sample-formula replay
   shuffle_shards      deterministic seeded corpus shuffle + shard ranks
+  assemble_training   composed assembly: decontaminate → mix → shuffle → pack
   repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
   line_dedup_clean    CCNet cross-document line dedup + reassembly
   pii_scrub_clean     typed PII redaction (email/IPv4/phone) + counts
@@ -525,6 +526,91 @@ def unigram_ppl(spark, d):
 
     docs = dd._widen_scan(_t(spark, d, "documents").select("doc_id", "text"))
     return TS.unigram_lm_scores(docs)
+
+
+def assemble_training(spark, d):
+    """The full training-data ASSEMBLY pipeline composed end-to-end (the
+    counterpart to corpus_clean_v2's curation stack): benchmark
+    decontamination → deterministic domain mixing → seeded shuffle+shard
+    → concat-and-chunk packing, as ONE query with ONE DuckDB replay.
+
+    Stage semantics (all deterministic, so the whole layout is a pure
+    function of the corpus):
+      1. decontaminate: docs sharing ≥50% of their 8-grams with the
+         held-out slice (doc_id % 97 == 0) are DROPPED — the slice's own
+         members are 100% self-contaminated by construction, so the stage
+         verifiably removes every one of them;
+      2. domain_mix: md5(source)-derived rates (drop / 0.875 / 1.75 /
+         2.625 epochs) emit (doc, epoch) copies;
+      3. shuffle_shards on mix_id = doc_id#epoch (seed 7, 8 shards) —
+         copies of one doc scatter independently;
+      4. pack at capacity 1024 in (shard, pos) order.
+
+    Scale shape: per-doc token counts are computed BEFORE the shard
+    exchange, so document text never rides a shuffle — only
+    (doc_id, source, n_tokens, epoch) ever moves. One hash exchange
+    (shard) + per-shard window rank/cumsum; no global sort."""
+    from dmp_crawler_spark.operators import dedup as dd
+    from dmp_crawler_spark.operators import training as TR
+
+    docs = dd._widen_scan(
+        _t(spark, d, "documents").select("doc_id", "source", "text")
+    )
+    bench = docs.select("doc_id", "text").filter(F.col("doc_id") % 97 == 0)
+    flagged = (
+        TR.decontaminate(
+            docs.select("doc_id", "text"), bench, n=8, frac_threshold=0.5
+        )
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    clean = docs.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "source",
+        TS.ws_token_count("text").cast("long").alias("n_tokens"),
+    )
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rate_bp",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("source").cast("binary")), 1, 4),
+                    16, 10,
+                ).cast("long")
+                % 4
+            )
+            * 8750,
+        )
+    )
+    mixed = TR.domain_mix(clean, weights).withColumn(
+        "mix_id",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"),
+            F.col("epoch").cast("string"),
+        ),
+    )
+    shuffled = TR.shuffle_shards(mixed, n_shards=8, seed=7, id_col="mix_id")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = shuffled.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    cap = 1024
+    last_tok = F.col("start_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return off.select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / cap).alias("first_seq"),
+        F.floor(last_tok / cap).alias("last_seq"),
+    )
 
 
 def _norm_text_expr(c):
@@ -1919,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_audit": domain_mix_audit,
         "pack_sequences": pack_sequences_q,
         "unigram_ppl": unigram_ppl,
+        "assemble_training": assemble_training,
         # rows-only (iterative/stateful — no SQL oracle); the BFS oracle
         # above covers the same loop with full hash evidence
         "crawl_engine_smoke": crawl_engine_smoke,
@@ -2209,6 +2296,95 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY k, doc_id)
                         AS BIGINT) AS pos
             FROM k
+        """,
+        # the full assembly pipeline replayed in one statement:
+        # decontaminate (drop) → md5-rate mix → seeded shuffle → pack
+        "assemble_training": """
+            WITH toks0 AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(toks) >= 8
+                              THEN [array_to_string(toks[i:i+7], ' ')
+                                    for i in generate_series(1, len(toks) - 7)]
+                              ELSE [array_to_string(toks, ' ')] END
+                       ) AS sh
+                FROM toks0
+            ),
+            doc_grams AS (
+                SELECT doc_id, unnest(sh) AS gram, len(sh) AS n_grams
+                FROM grams
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM grams
+                WHERE doc_id % 97 = 0
+            ),
+            contaminated AS (
+                SELECT d.doc_id
+                FROM doc_grams d JOIN bench USING (gram)
+                GROUP BY d.doc_id
+                HAVING count(*) >= 0.5 * any_value(n_grams)
+            ),
+            clean AS (
+                SELECT t.doc_id, t.source, t.n_tokens
+                FROM toks0 t ANTI JOIN contaminated c ON t.doc_id = c.doc_id
+            ),
+            w AS (
+                SELECT source,
+                       (('0x' || substr(md5(source), 1, 4))::BIGINT % 4) * 8750
+                         AS rate_bp
+                FROM (SELECT DISTINCT source FROM documents)
+            ),
+            mixed AS (
+                SELECT c.doc_id, c.n_tokens,
+                       unnest(generate_series(1,
+                         CAST((w.rate_bp // 10000)
+                           + CASE WHEN ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)),
+                                                       1, 4))::BIGINT % 10000
+                                       < w.rate_bp % 10000
+                                  THEN 1 ELSE 0 END AS BIGINT))) AS epoch
+                FROM clean c JOIN w USING (source)
+            ),
+            keyed AS (
+                SELECT doc_id, epoch, n_tokens,
+                       CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)
+                         AS mix_id,
+                       ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)
+                                           || '#' || CAST(epoch AS VARCHAR)),
+                                       1, 15))::BIGINT AS k
+                FROM mixed
+            ),
+            sh AS (
+                SELECT doc_id, epoch, n_tokens, k % 8 AS shard,
+                       row_number() OVER (PARTITION BY k % 8
+                                          ORDER BY k, mix_id) AS pos
+                FROM keyed
+            ),
+            o AS (
+                SELECT doc_id, epoch, shard, pos, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS start_off
+                FROM sh
+            )
+            SELECT doc_id,
+                   CAST(epoch AS BIGINT) AS epoch,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(start_off AS BIGINT) AS start_off,
+                   CAST(start_off // 1024 AS BIGINT) AS first_seq,
+                   CAST((start_off + greatest(n_tokens, 1) - 1) // 1024
+                        AS BIGINT) AS last_seq
+            FROM o
         """,
         # Gopher repetition rules replayed with DuckDB list functions;
         # same two-token-line simulation as the Spark side

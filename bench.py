@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "unigram_ppl",
     "shuffle_shards",
     "wav_decode_stats",
+    "assemble_training",
 ]
 
 # bench-name -> queries()-name/alternate-callable indirection:
