@@ -45,6 +45,7 @@ Operator ↔ query map (SURVEY.md §2 ids in names):
   crawl_bfs_oracle    REAL CrawlEngine 3-iteration BFS vs unrolled SQL replay
   bmp_decode_stats    REAL (non-stub) BMP decode vs pixel-formula replay
   wav_decode_stats    REAL (non-stub) PCM-WAV decode vs sample-formula replay
+  bmp_resize_stats    REAL NN image resize (decode→resize→re-encode→decode)
   shuffle_shards      deterministic seeded corpus shuffle + shard ranks
   assemble_training   composed assembly: decontaminate → mix → shuffle → pack
   repetition_filter   Gopher repetition rules (dup lines / top 2-gram)
@@ -1472,6 +1473,37 @@ def wav_decode_stats(spark, d):
     )
 
 
+def bmp_resize_stats(spark, d):
+    """REAL distributed image resize (the 'resize' leg of the multimodal
+    brief, previously unimplemented): each deterministic affine-formula
+    BMP (one per p_partkey ≤ 250, W=8+i%9 × H=6+i%7) is decoded, resized
+    to 5×4 by exact nearest-neighbor (src = (dst*extent)//out_extent),
+    re-ENCODED as BMP, and the resized payload decoded again by the
+    strict feature path — so decode, resize, encode and re-decode are all
+    load-bearing in one chain. DuckDB re-derives every output from the
+    pixel formula composed with the integer NN index map, never seeing a
+    BMP byte."""
+    from dmp_crawler_spark.operators import multimodal as MM
+
+    ids = (
+        _t(spark, d, "part")
+        .select(F.col("p_partkey").cast("long").alias("media_id"))
+        .filter(F.col("media_id") <= 250)
+    )
+    resized = MM.resize_bmp_media(MM.bmp_media_from_ids(ids), 5, 4)
+    feats = MM.extract_features(resized, strict=True)
+    f = F.col("feature")
+    names = [
+        "w", "h", "sum_r", "sum_g", "sum_b",
+        "p00_r", "p00_g", "p00_b", "p12_r", "p12_g", "p12_b",
+        "pwh_r", "pwh_g", "pwh_b",
+    ]
+    return feats.select(
+        "media_id",
+        *[f[k].cast("long").alias(nm) for k, nm in enumerate(names)],
+    )
+
+
 def shuffle_shards_q(spark, d):
     """Deterministic seeded corpus shuffle (training.shuffle_shards):
     the training-order shuffle every LLM-corpus build runs before
@@ -1996,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_oracle": crawl_bfs_oracle,
         "bmp_decode_stats": bmp_decode_stats,
         "wav_decode_stats": wav_decode_stats,
+        "bmp_resize_stats": bmp_resize_stats,
         "shuffle_shards": shuffle_shards_q,
         "repetition_filter": repetition_filter,
         "line_dedup_clean": line_dedup_clean,
@@ -2235,6 +2268,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST((w - 1 + i) % 256 AS BIGINT) AS pwh_r,
                    CAST((2*(h-1) + i) % 256 AS BIGINT) AS pwh_g,
                    CAST((3*(w-1) + 5*(h-1) + i) % 256 AS BIGINT) AS pwh_b
+            FROM grid
+            GROUP BY i, w, h
+        """,
+        # re-derives the RESIZED image stats from the pixel formula
+        # composed with the integer nearest-neighbor index map
+        # (no BMP bytes on the oracle side — see bmp_resize_stats)
+        "bmp_resize_stats": """
+            WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS i
+                         FROM part WHERE p_partkey <= 250),
+            dims AS (SELECT i, 8 + (i % 9) AS w, 6 + (i % 7) AS h FROM ids),
+            grid AS (
+              SELECT d.i, d.w, d.h,
+                     (x.x * d.w) // 5 AS sx,
+                     (y.y * d.h) // 4 AS sy
+              FROM dims d
+              JOIN (SELECT unnest(generate_series(0, 4)) AS x) x ON true
+              JOIN (SELECT unnest(generate_series(0, 3)) AS y) y ON true
+            )
+            SELECT i AS media_id,
+                   CAST(5 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+                   CAST(sum((sx + i) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((2*sy + i) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((3*sx + 5*sy + i) % 256) AS BIGINT) AS sum_b,
+                   CAST(i % 256 AS BIGINT) AS p00_r,
+                   CAST(i % 256 AS BIGINT) AS p00_g,
+                   CAST(i % 256 AS BIGINT) AS p00_b,
+                   CAST(((w // 5) + i) % 256 AS BIGINT) AS p12_r,
+                   CAST((2 * ((2 * h) // 4) + i) % 256 AS BIGINT) AS p12_g,
+                   CAST((3 * (w // 5) + 5 * ((2 * h) // 4) + i) % 256
+                        AS BIGINT) AS p12_b,
+                   CAST(((4 * w) // 5 + i) % 256 AS BIGINT) AS pwh_r,
+                   CAST((2 * ((3 * h) // 4) + i) % 256 AS BIGINT) AS pwh_g,
+                   CAST((3 * ((4 * w) // 5) + 5 * ((3 * h) // 4) + i) % 256
+                        AS BIGINT) AS pwh_b
             FROM grid
             GROUP BY i, w, h
         """,

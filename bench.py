@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "unigram_ppl",
     "shuffle_shards",
     "wav_decode_stats",
+    "bmp_resize_stats",
     "assemble_training",
 ]
 

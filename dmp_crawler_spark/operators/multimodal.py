@@ -376,6 +376,46 @@ def _bmp_pixels(i: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL nearest-neighbor image resize on decoded (H, W, 3) pixels:
+    source index = floor(dst * src_extent / dst_extent) per axis — the
+    classic integer NN map, chosen over center-offset variants because it
+    is exactly replayable as (x*W)//out_w in any SQL engine, so the
+    whole decode → resize → re-encode chain stays oracle-checkable."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+    h, w, _ = px.shape
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return px[np.ix_(ys, xs)]
+
+
+def resize_bmp_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Distributed image resize over a media table of BMP payloads:
+    decode_bmp → resize_nn → encode_bmp per item, Arrow-batched, with the
+    payload column pruned to exactly (media_id, payload) before the
+    Python stage. Non-BMP payloads raise (decode_bmp's contract) — no
+    silent pass-through of bytes the resize never touched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                rp = resize_nn(decode_bmp(payload), out_w, out_h)
+                rows.append({
+                    "media_id": int(mid), "kind": "image",
+                    "mime": "image/bmp",
+                    "payload": encode_bmp(np.ascontiguousarray(rp)),
+                    "meta": {"width": out_w, "height": out_h,
+                             "duration_ms": None, "sample_rate": None},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _wav_samples(i: int) -> tuple[np.ndarray, int]:
     """Deterministic test clip i: n = 400 + (37i mod 257) frames at
     sr = 8000 + (i mod 4)*4000 Hz; odd ids mono, even ids stereo;
